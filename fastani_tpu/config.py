@@ -1,0 +1,76 @@
+"""Run configuration for the TPU ANI engine.
+
+Mirrors the reference parameter record and its CLI defaults
+(reference: src/map/include/map_parameters.hpp:22-41 and
+src/map/include/parseCmdArgs.hpp:117-130) so runs are directly comparable,
+while adding TPU-specific knobs (device mesh shape, kernel capacity caps).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+
+@dataclasses.dataclass
+class Parameters:
+    """Sketching and mapping parameters.
+
+    Defaults match the reference CLI (parseCmdArgs.hpp:117-130): k=16,
+    fragment length 3000, minFraction 0.2, identity cutoff 80, p-value 1e-3,
+    assumed reference size 5e6 (fixed; never updated from the actual input,
+    matching the reference).
+    """
+
+    kmer_size: int = 16
+    # Derived from the p-value model at startup unless given explicitly
+    # (parseCmdArgs.hpp:225-228); 24 for the defaults.
+    window_size: Optional[int] = None
+    frag_len: int = 3000                 # reference: minReadLength
+    min_fraction: float = 0.2
+    alphabet_size: int = 4
+    reference_size: int = 5_000_000
+    percentage_identity: float = 80.0
+    p_value: float = 1e-3
+    ref_sequences: List[str] = dataclasses.field(default_factory=list)
+    query_sequences: List[str] = dataclasses.field(default_factory=list)
+    out_file_name: str = ""
+    report_all: bool = True
+    visualize: bool = False
+    matrix_output: bool = False
+    max_ratio_diff: float = 100.0
+    sanity_check: bool = False
+    # Number of reference shards. The reference binary uses one OpenMP thread
+    # per round-robin shard of the reference list (computeCoreIdentity.hpp:457-474).
+    # On TPU this is the data-parallel axis of the device mesh instead; `threads`
+    # is retained for CLI compatibility and controls nothing numerically (ANI
+    # TSV/matrix output is shard-count invariant by construction).
+    threads: int = 1
+
+    # ---- TPU engine capacities (padding caps for ragged data; overflow falls
+    # back to the exact host model, never silently truncates) ----
+    frag_batch: int = 2048               # fragments mapped per device batch
+    sketch_cap: int = 768                # max minimizers kept per fragment
+    hits_cap: int = 4096                 # max L1 seed hits per fragment
+    cand_cap: int = 64                   # max L1 candidate regions per fragment
+    l2_entry_cap: int = 1024             # max ref index entries per L2 work unit
+
+    def resolved_window_size(self) -> int:
+        if self.window_size is not None:
+            return self.window_size
+        from fastani_tpu.ops import stats
+
+        return stats.recommended_window_size(
+            self.p_value,
+            self.kmer_size,
+            self.alphabet_size,
+            self.percentage_identity,
+            self.frag_len,
+            self.reference_size,
+        )
+
+    def finalize(self) -> "Parameters":
+        """Fill in derived fields; returns self for chaining."""
+        if self.window_size is None:
+            self.window_size = self.resolved_window_size()
+        return self
