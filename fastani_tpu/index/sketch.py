@@ -1,0 +1,184 @@
+"""Reference minimizer index.
+
+TPU-native replacement for skch::Sketch (reference:
+src/map/include/winSketch.hpp:44-341).  The reference keeps an
+unordered_map hash -> [(seqId,wpos)...]; pointer-chasing hash tables don't
+map to TPUs, so the index is a pair of sorted dense arrays:
+
+* build order   (mi_*):  entries sorted by (seqId, wpos) — the order the
+  winnowing emits them; used by the L2 stage's positional windows
+  (winSketch.hpp:259-270 searchIndex becomes searchsorted).
+* lookup order  (occ_*): the same entries sorted by (hash, seqId, wpos);
+  L1 hash probes become two searchsorted calls giving each hash's
+  occurrence range (replacing minimizerPosLookupIndex, winSketch.hpp:83-84).
+
+Frequency bookkeeping (histogram, threshold, sanity ratios) follows
+winSketch.hpp:199-248 and :298-318.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from fastani_tpu.config import Parameters
+from fastani_tpu.io import fasta
+from fastani_tpu.ops import minimizer
+
+
+@dataclasses.dataclass
+class ContigInfo:
+    name: str
+    length: int
+
+
+@dataclasses.dataclass
+class ReferenceIndex:
+    params: Parameters
+    metadata: List[ContigInfo]
+    # file boundaries: sequences_by_file[f] = one-past-last seqId of file f
+    # (winSketch.hpp:68-75)
+    sequences_by_file: np.ndarray        # (num_files,) int32
+    # build-order arrays (sorted by (seqId, wpos))
+    mi_hash: np.ndarray                  # (M,) uint32
+    mi_seqid: np.ndarray                 # (M,) int32
+    mi_wpos: np.ndarray                  # (M,) int32
+    # lookup-order arrays (sorted by (hash, seqId, wpos))
+    occ_hash: np.ndarray                 # (M,) uint32
+    occ_seqid: np.ndarray                # (M,) int32
+    occ_wpos: np.ndarray                 # (M,) int32
+    # per-seqId entry span in build order: seq_start[s] .. seq_start[s+1]
+    seq_start: np.ndarray                # (num_seqs+1,) int64
+    freq_threshold: int
+    # sanity-check ratios (winSketch.hpp:298-318); None until computed
+    hash_ratio: float = 0.0
+    uniq_hash_ratio: float = 0.0
+    ratio_difference: float = 0.0
+
+    @property
+    def num_entries(self) -> int:
+        return len(self.mi_hash)
+
+    @property
+    def num_unique_hashes(self) -> int:
+        if len(self.occ_hash) == 0:
+            return 0
+        return int((np.diff(self.occ_hash) != 0).sum()) + 1
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def build(cls, params: Parameters, ref_files: Optional[Sequence[str]] = None) -> "ReferenceIndex":
+        files = list(ref_files if ref_files is not None else params.ref_sequences)
+        k = params.kmer_size
+        w = params.window_size
+        metadata: List[ContigInfo] = []
+        seq_by_file: List[int] = []
+        hashes: List[np.ndarray] = []
+        seqids: List[np.ndarray] = []
+        wposs: List[np.ndarray] = []
+        seq_counter = 0
+        for path in files:
+            for name, seq in fasta.read_sequences(path):
+                metadata.append(ContigInfo(name, len(seq)))
+                if not (len(seq) < w or len(seq) < k):
+                    h, wp = minimizer.winnow_sequence_np(seq, k, w)
+                    if len(h):
+                        hashes.append(h)
+                        seqids.append(np.full(len(h), seq_counter, np.int32))
+                        wposs.append(wp)
+                seq_counter += 1
+            seq_by_file.append(seq_counter)
+        if hashes:
+            mi_hash = np.concatenate(hashes)
+            mi_seqid = np.concatenate(seqids)
+            mi_wpos = np.concatenate(wposs)
+        else:
+            mi_hash = np.zeros(0, np.uint32)
+            mi_seqid = np.zeros(0, np.int32)
+            mi_wpos = np.zeros(0, np.int32)
+        return cls._finish(params, metadata, np.asarray(seq_by_file, np.int32),
+                           mi_hash, mi_seqid, mi_wpos)
+
+    @classmethod
+    def _finish(cls, params, metadata, seq_by_file, mi_hash, mi_seqid, mi_wpos):
+        # lookup order: stable sort by hash keeps (seqId,wpos) order within
+        # each hash — exactly the per-hash vector order of the reference's
+        # index() (winSketch.hpp:181-193).
+        order = np.argsort(mi_hash, kind="stable")
+        occ_hash = mi_hash[order]
+        occ_seqid = mi_seqid[order]
+        occ_wpos = mi_wpos[order]
+
+        num_seqs = len(metadata)
+        seq_start = np.searchsorted(mi_seqid, np.arange(num_seqs + 1)).astype(np.int64)
+
+        freq_threshold = cls._compute_freq_threshold(occ_hash)
+
+        return cls(params=params, metadata=metadata, sequences_by_file=seq_by_file,
+                   mi_hash=mi_hash, mi_seqid=mi_seqid, mi_wpos=mi_wpos,
+                   occ_hash=occ_hash, occ_seqid=occ_seqid, occ_wpos=occ_wpos,
+                   seq_start=seq_start, freq_threshold=freq_threshold)
+
+    @staticmethod
+    def _compute_freq_threshold(occ_hash: np.ndarray) -> int:
+        """Frequency threshold from the histogram (winSketch.hpp:199-248).
+
+        percentageThreshold is fixed at 0 in the reference (winSketch.hpp:52),
+        which makes minimizerToIgnore 0 and leaves the threshold at INT_MAX
+        (i.e. no hash is ignored); the computation is kept for parity and for
+        future tuning.
+        """
+        int_max = np.iinfo(np.int32).max
+        if len(occ_hash) == 0:
+            return int_max
+        percentage_threshold = 0.0
+        _, counts = np.unique(occ_hash, return_counts=True)
+        freqs, freq_of_freq = np.unique(counts, return_counts=True)
+        total_unique = len(counts)
+        to_ignore = int(total_unique * percentage_threshold / 100)
+        threshold = int_max
+        s = 0
+        for f, ff in zip(freqs[::-1], freq_of_freq[::-1]):
+            s += int(ff)
+            if s < to_ignore:
+                threshold = int(f)
+            elif s == to_ignore:
+                threshold = int(f)
+                break
+            else:
+                break
+        return threshold
+
+    # -- queries ------------------------------------------------------------
+
+    def genome_of_seq(self) -> np.ndarray:
+        """seqId -> genome (file) id via upper_bound on file boundaries
+        (computeCoreIdentity.hpp:31-42)."""
+        num_seqs = len(self.metadata)
+        return np.searchsorted(self.sequences_by_file, np.arange(num_seqs), side="right").astype(np.int32)
+
+    def sanity_check(self, max_ratio_diff: float) -> bool:
+        """Repeat sanity check (winSketch.hpp:298-318).
+
+        hashRatio = totalLength / total occurrence count;
+        uniqHashRatio = totalLength / unique hash count.  Flags a shard when
+        |hashRatio - uniqHashRatio| > maxRatioDiff.  Always true when the
+        check is disabled (handled by the caller, matching param.sanityCheck).
+        """
+        total_size = float(self.num_entries)
+        total_length = float(sum(c.length for c in self.metadata))
+        uniq = float(self.num_unique_hashes)
+        if total_size == 0 or uniq == 0:
+            # degenerate empty index: reference would divide by zero (inf);
+            # treat as failing the check
+            self.hash_ratio = float("inf")
+            self.uniq_hash_ratio = float("inf")
+            self.ratio_difference = float("nan")
+            return False
+        self.hash_ratio = np.float32(total_length) / np.float32(total_size)
+        self.uniq_hash_ratio = np.float32(total_length) / np.float32(uniq)
+        self.ratio_difference = abs(np.float32(self.hash_ratio) - np.float32(self.uniq_hash_ratio))
+        return not (self.ratio_difference > max_ratio_diff)

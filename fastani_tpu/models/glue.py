@@ -1,0 +1,160 @@
+"""Host orchestration glue: fragments -> candidates -> L2 -> mappings.
+
+Drives the backend-generic kernels in models/mapping.py for one fragment
+batch against one reference index, then applies the identity LUT gate on
+host (computeMap.hpp:363-410).  Used by the pipeline driver and by the
+oracle-parity tests; the jitted TPU path wraps the same kernel calls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import numpy as np
+
+from fastani_tpu.models import mapping
+from fastani_tpu.ops import stats
+from fastani_tpu.utils.refmodel import Mapping
+
+
+@dataclasses.dataclass
+class BatchMappings:
+    """Dense mapping results for a fragment batch (pre-identity-gate)."""
+    frag: np.ndarray       # (R,) fragment row index into the batch
+    sid: np.ndarray        # (R,) reference contig id
+    shared: np.ndarray     # (R,) conserved sketches
+    sketch: np.ndarray     # (R,) fragment sketch size
+    mean_pos: np.ndarray   # (R,) refStartPos
+    fallback_frags: np.ndarray  # (Fb,) fragment rows needing exact host fallback
+
+
+def map_fragment_batch(xp, frags_u8, index, params, generous: bool = False):
+    """Map a (F, frag_len) fragment batch against a ReferenceIndex.
+
+    Returns BatchMappings.  With generous=True (NumPy fallback path) the
+    capacity caps are sized to the data so nothing overflows.
+    """
+    k, w, l = params.kmer_size, params.window_size, params.frag_len
+    F = frags_u8.shape[0]
+    scap, hcap, ccap, ncap = (params.sketch_cap, params.hits_cap,
+                              params.cand_cap, params.l2_entry_cap)
+    frags_x = xp.asarray(frags_u8)
+    occ_hash = xp.asarray(index.occ_hash)
+    occ_sid = xp.asarray(index.occ_sid if hasattr(index, "occ_sid") else index.occ_seqid)
+    occ_wpos = xp.asarray(index.occ_wpos)
+    mi_hash = xp.asarray(index.mi_hash)
+    mi_sid = xp.asarray(index.mi_seqid)
+    mi_wpos = xp.asarray(index.mi_wpos)
+    seq_start = xp.asarray(index.seq_start)
+
+    qh, s, sk_over = mapping.sketch_fragments(xp, frags_x, k, w, scap)
+    if generous:
+        # resize sketch cap to the data and redo if overflowing
+        max_s = int(np.asarray(s).max()) if F else 0
+        if max_s > scap:
+            scap = int(max_s)
+            qh, s, sk_over = mapping.sketch_fragments(xp, frags_x, k, w, scap)
+
+    lut = xp.asarray(stats.min_hits_lut(k, params.percentage_identity,
+                                        max(int(np.asarray(s).max(initial=1)), 1)))
+    l1 = mapping.l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos, lut,
+                               index.freq_threshold, l, hcap, ccap)
+    if generous and bool(np.asarray(l1.overflow).any()):
+        hcap = max(hcap, int(_required_hits(np, np.asarray(qh), np.asarray(s),
+                                            index)) + 1)
+        ccap = hcap  # candidates can never exceed hits
+        l1 = mapping.l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos, lut,
+                                   index.freq_threshold, l, hcap, ccap)
+
+    # build unit arrays from candidate grid
+    cand_valid = np.asarray(l1.valid)
+    fmask = cand_valid.any(axis=1)
+    frag_ids, cand_ids = np.nonzero(cand_valid)
+    if len(frag_ids) == 0:
+        return BatchMappings(*[np.zeros(0, np.int32)] * 5,
+                             fallback_frags=np.nonzero(np.asarray(sk_over) | np.asarray(l1.overflow))[0].astype(np.int32))
+    u_frag = xp.asarray(frag_ids.astype(np.int32))
+    u_sid = xp.asarray(np.asarray(l1.sid)[frag_ids, cand_ids])
+    u_start = xp.asarray(np.asarray(l1.start)[frag_ids, cand_ids])
+    u_end = xp.asarray(np.asarray(l1.end)[frag_ids, cand_ids])
+    u_valid = xp.asarray(np.ones(len(frag_ids), bool))
+
+    if generous:
+        # size ncap to the largest candidate entry range
+        b0 = mapping._searchsorted_pairs(np, index.mi_seqid, index.mi_wpos,
+                                         np.asarray(u_sid), np.asarray(u_start))
+        eL = mapping._searchsorted_pairs(np, index.mi_seqid, index.mi_wpos,
+                                         np.asarray(u_sid),
+                                         np.asarray(u_end) + l)
+        ncap = max(int((eL - b0).max()), 8) + 1
+
+    # L2 in unit chunks: the event matrices are (chunk, 2*ncap+1, ncap); keep
+    # the working set bounded (~100 MB)
+    U = len(frag_ids)
+    chunk = max(1, int(100e6 / (max(2 * ncap + 1, 1) * max(ncap, 1) * 4)))
+    sh_parts, mp_parts, va_parts, ov_parts = [], [], [], []
+    for c0 in range(0, U, chunk):
+        c1 = min(c0 + chunk, U)
+        part = mapping.l2_map_units(
+            xp, qh, s, u_frag[c0:c1], u_sid[c0:c1], u_start[c0:c1],
+            u_end[c0:c1], u_valid[c0:c1],
+            mi_hash, mi_sid, mi_wpos, seq_start, l, k, w, ncap)
+        sh_parts.append(np.asarray(part.shared))
+        mp_parts.append(np.asarray(part.mean_pos))
+        va_parts.append(np.asarray(part.valid))
+        ov_parts.append(np.asarray(part.overflow))
+    l2 = mapping.L2Result(np.concatenate(sh_parts), np.concatenate(mp_parts),
+                          np.concatenate(va_parts), np.concatenate(ov_parts))
+
+    valid = np.asarray(l2.valid)
+    over = np.asarray(l2.overflow)
+    fb_frags = set(np.nonzero(np.asarray(sk_over))[0].tolist())
+    fb_frags |= set(np.nonzero(np.asarray(l1.overflow))[0].tolist())
+    fb_frags |= set(frag_ids[np.nonzero(over)[0]].tolist())
+    keep = valid & ~over
+    frag_keep = frag_ids[keep]
+    # drop results for fragments that need fallback anyway (exactness)
+    drop = np.isin(frag_keep, np.fromiter(fb_frags, np.int32, len(fb_frags))) if fb_frags else np.zeros(len(frag_keep), bool)
+    sel = np.nonzero(keep)[0][~drop]
+    s_np = np.asarray(s)
+    return BatchMappings(
+        frag=frag_ids[sel].astype(np.int32),
+        sid=np.asarray(u_sid)[sel].astype(np.int32),
+        shared=np.asarray(l2.shared)[sel].astype(np.int32),
+        sketch=s_np[frag_ids[sel]].astype(np.int32),
+        mean_pos=np.asarray(l2.mean_pos)[sel].astype(np.int32),
+        fallback_frags=np.fromiter(sorted(fb_frags), np.int32, len(fb_frags)),
+    )
+
+
+def _required_hits(xp, qh, s, index) -> int:
+    lo = np.searchsorted(index.occ_hash, qh, side="left")
+    hi = np.searchsorted(index.occ_hash, qh, side="right")
+    jj = np.arange(qh.shape[1])
+    cnt = np.where(jj < s[:, None], hi - lo, 0)
+    cnt = np.where(cnt < index.freq_threshold, cnt, 0)
+    return int(cnt.sum(axis=1).max(initial=0))
+
+
+def gate_and_format(batch: BatchMappings, frag_global_ids: np.ndarray,
+                    params) -> List[Mapping]:
+    """Apply identity LUT + CI gate; produce Mapping records
+    (computeMap.hpp:375-403)."""
+    out: List[Mapping] = []
+    if len(batch.frag) == 0:
+        return out
+    ident, upper = stats.identities_for(batch.shared, batch.sketch, params.kmer_size)
+    keep = upper >= params.percentage_identity
+    for i in np.nonzero(keep)[0]:
+        out.append(Mapping(
+            query_seq_id=int(frag_global_ids[batch.frag[i]]),
+            ref_seq_id=int(batch.sid[i]),
+            ref_start_pos=int(batch.mean_pos[i]),
+            nuc_identity=ident[i],
+            nuc_identity_upper=upper[i],
+            conserved=int(batch.shared[i]),
+            sketch_size=int(batch.sketch[i]),
+            query_len=params.frag_len,
+        ))
+    return out

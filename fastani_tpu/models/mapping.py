@@ -1,0 +1,386 @@
+"""Dense, batched L1/L2 fragment mapping.
+
+TPU-first reformulation of the reference's mapping engine:
+
+* L1 (reference: computeMap.hpp:252-354) — hash probes become sorted-array
+  range lookups; the consecutive-hit scan and candidate merging become
+  sort + shift/compare + segment reductions over a fixed-width hit buffer.
+* L2 (reference: computeMap.hpp:418-497 + slidingMap.hpp + MIIteratorL2.hpp)
+  — the event-driven sliding super-window is enumerated in closed form:
+  the iterator's (begin,end) staircase is exactly the sorted merge of
+  entry-start events (pos[i]) and entry-enter events (pos[j]-C+1), so all
+  visited window states are computed with two searchsorteds per event; the
+  winnowed-MinHash shared count S(W) = |{h in QH∩RH(W) with rank < s in
+  QH∪RH(W)}| is evaluated for all events at once with masked cumulative
+  sums over hash-sorted candidate entries.
+
+All functions are backend-generic (xp = numpy or jax.numpy), fixed-shape +
+masks.  The NumPy instantiation doubles as the exact overflow fallback
+(caps sized to the data); the JAX instantiation runs under jit on TPU.
+Equivalence to the reference semantics is proven against the scalar oracle
+in fastani_tpu.utils.refmodel by the unit tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from fastani_tpu.ops import hashing
+from fastani_tpu.ops.xputils import batched_searchsorted, cummax, is_jax, pairmin_scan, take_along
+
+_UMAX = np.uint32(0xFFFFFFFF)
+_PINF = np.int32(2**30)  # position infinity (room for +C arithmetic)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing + fragment sketches (batched)
+# ---------------------------------------------------------------------------
+
+def kmer_hashes(xp, seqs_u8, k: int):
+    if is_jax(xp):
+        return _kmer_hashes_jax_nd(seqs_u8, k)
+    return hashing.kmer_hashes_np(seqs_u8, k)
+
+
+def _kmer_hashes_jax_nd(seqs_u8, k: int):
+    """JAX k-mer hashing supporting leading batch axes via static slices."""
+    import jax.numpy as jnp
+
+    seq_u32 = seqs_u8.astype(jnp.uint32)
+    n_out = seqs_u8.shape[-1] - k + 1
+    z = jnp.zeros(seqs_u8.shape[:-1] + (n_out,), dtype=jnp.uint32)
+    w1lo, w1hi, w2lo, w2hi = z, z, z, z
+    for j in range(min(k, 16)):
+        b = seq_u32[..., j : j + n_out]
+        v = b << jnp.uint32(8 * (j % 4))
+        if j < 4:
+            w1lo = w1lo | v
+        elif j < 8:
+            w1hi = w1hi | v
+        elif j < 12:
+            w2lo = w2lo | v
+        else:
+            w2hi = w2hi | v
+    if k == 16:
+        return hashing.murmur3_low32_block16(w1hi, w1lo, w2hi, w2lo)
+    return hashing.murmur3_low32_tail(w1hi, w1lo, w2hi, w2lo, k)
+
+
+def revcomp(xp, seqs_u8):
+    if is_jax(xp):
+        return hashing.revcomp_jax(seqs_u8)
+    return hashing.revcomp_np(seqs_u8)
+
+
+def _sliding_argmin(xp, key_h, key_p, w: int):
+    """win[i] = lexicographic min of (hash asc, pos desc) over
+    [max(0, i-w+1), i], along the last axis (blocked two-stacks scheme)."""
+    n = key_h.shape[-1]
+    lead = key_h.shape[:-1]
+    nb = -(-n // w)
+    pad = nb * w - n
+    if pad:
+        key_h = xp.concatenate([key_h, xp.full(lead + (pad,), _UMAX, xp.uint32)], axis=-1)
+        key_p = xp.concatenate([key_p, xp.full(lead + (pad,), -1, xp.int32)], axis=-1)
+    bh = key_h.reshape(lead + (nb, w))
+    bp = key_p.reshape(lead + (nb, w))
+    pre_h, pre_p = pairmin_scan(xp, bh, bp)
+    suf_h, suf_p = pairmin_scan(xp, bh, bp, reverse=True)
+    pre_h = pre_h.reshape(lead + (nb * w,))[..., :n]
+    pre_p = pre_p.reshape(lead + (nb * w,))[..., :n]
+    suf_h = suf_h.reshape(lead + (nb * w,))
+    suf_p = suf_p.reshape(lead + (nb * w,))
+    idx = xp.arange(n, dtype=xp.int32)
+    start = xp.maximum(idx - (w - 1), 0)
+    start_b = xp.broadcast_to(start, lead + (n,))
+    sh = take_along(xp, suf_h, start_b, -1)
+    sp = take_along(xp, suf_p, start_b, -1)
+    take = (sh < pre_h) | ((sh == pre_h) & (sp > pre_p))
+    return xp.where(take, sh, pre_h), xp.where(take, sp, pre_p)
+
+
+def winnow_batched(xp, seqs_u8, k: int, w: int, true_lens):
+    """Batched winnowing; seqs (F, Lp) uppercased bytes, true_lens (F,).
+
+    Returns (emit bool, hash u32, wpos i32), each (F, Lp-k+1).  Semantics
+    documented and oracle-tested in fastani_tpu.ops.minimizer.
+    """
+    n = seqs_u8.shape[-1] - k + 1
+    lead = seqs_u8.shape[:-1]
+    hf = kmer_hashes(xp, seqs_u8, k)
+    hb = kmer_hashes(xp, revcomp(xp, seqs_u8), k)[..., ::-1]
+    idx = xp.arange(n, dtype=xp.int32)
+    valid = (hf != hb) & (idx <= xp.asarray(true_lens).reshape(lead + (1,)) - k)
+    h = xp.minimum(hf, hb)
+    key_h = xp.where(valid, h, xp.asarray(_UMAX))
+    key_p = xp.where(valid, xp.broadcast_to(idx, lead + (n,)), -1).astype(xp.int32)
+    win_h, win_p = _sliding_argmin(xp, key_h, key_p, w)
+    event = valid & (idx >= w - 1)
+    ev_idx = xp.where(event, idx, -1).astype(xp.int32)
+    last_ev = cummax(xp, ev_idx, axis=-1)
+    prev_ev = xp.concatenate([xp.full(lead + (1,), -1, xp.int32), last_ev[..., :-1]], axis=-1)
+    prev_sel = xp.where(
+        prev_ev >= 0,
+        take_along(xp, win_p, xp.maximum(prev_ev, 0), -1),
+        -2,
+    )
+    emit = event & (win_p != prev_sel)
+    return emit, win_h, idx - (w - 1)
+
+
+def sketch_fragments(xp, frags_u8, k: int, w: int, scap: int):
+    """Fragment sketches: sorted unique minimizer hashes per fragment.
+
+    frags_u8: (F, L) uppercased fragment bytes (full fragments, length L).
+    Returns (qh (F, scap) uint32 padded with UMAX, s (F,) int32, overflow
+    (F,) bool).  Mirrors computeMap.hpp:260-274 (sort + unique by hash).
+    """
+    F, L = frags_u8.shape
+    lens = xp.full((F,), L, xp.int32)
+    emit, h, _ = winnow_batched(xp, frags_u8, k, w, lens)
+    n = h.shape[-1]
+    # sort per row: emitted first, by hash
+    order = xp.lexsort((h, xp.where(emit, 0, 1).astype(xp.int32)), axis=-1)
+    hk = take_along(xp, h, order, -1)
+    n_emit = emit.sum(axis=-1).astype(xp.int32)
+    j = xp.arange(n, dtype=xp.int32)
+    within = j < n_emit[:, None]
+    prev = xp.concatenate([xp.full((F, 1), _UMAX, xp.uint32), hk[..., :-1]], axis=-1)
+    first = within & ((j == 0) | (hk != prev))
+    s = first.sum(axis=-1).astype(xp.int32)
+    order2 = xp.lexsort((hk, xp.where(first, 0, 1).astype(xp.int32)), axis=-1)
+    qh = take_along(xp, hk, order2, -1)[:, :scap]
+    jj = xp.arange(scap, dtype=xp.int32)
+    qh = xp.where(jj < xp.minimum(s, scap)[:, None], qh, xp.asarray(_UMAX))
+    overflow = s > scap
+    return qh, s, overflow
+
+
+# ---------------------------------------------------------------------------
+# L1: candidate regions
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class L1Result:
+    sid: object      # (F, cand_cap) int32 candidate contig ids
+    start: object    # (F, cand_cap) int32 rangeStartPos
+    end: object      # (F, cand_cap) int32 rangeEndPos
+    valid: object    # (F, cand_cap) bool
+    overflow: object  # (F,) bool — hits or candidates exceeded caps
+
+
+def l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos, min_hits_lut,
+                  freq_threshold: int, frag_len: int, hits_cap: int, cand_cap: int):
+    """Batched L1 stage.  qh (F, scap) sorted unique hashes (UMAX padded)."""
+    F, scap = qh.shape
+    M = occ_hash.shape[0]
+    jj = xp.arange(scap, dtype=xp.int32)
+    qvalid = jj < s[:, None]
+    lo = xp.searchsorted(occ_hash, qh, side="left").astype(xp.int32)
+    hi = xp.searchsorted(occ_hash, qh, side="right").astype(xp.int32)
+    cnt = xp.where(qvalid, hi - lo, 0)
+    cnt = xp.where(cnt < freq_threshold, cnt, 0)
+    cum = xp.cumsum(cnt, axis=-1).astype(xp.int32)
+    total = cum[:, -1]
+    overflow = total > hits_cap
+
+    # scatter-free expansion of ragged hit lists into (F, hits_cap)
+    hidx = xp.arange(hits_cap, dtype=xp.int32)
+    bucket = batched_searchsorted(xp, cum, hidx[None, :], side="right")  # (F, hits_cap)
+    bucket_c = xp.minimum(bucket, scap - 1)
+    prev_cum = xp.where(bucket > 0, take_along(xp, cum, xp.maximum(bucket - 1, 0), -1), 0)
+    src = take_along(xp, lo, bucket_c, -1) + (hidx[None, :] - prev_cum)
+    hvalid = hidx[None, :] < xp.minimum(total, hits_cap)[:, None]
+    src = xp.clip(src, 0, max(M - 1, 0))
+    hit_sid = xp.where(hvalid, occ_sid[src], _PINF)
+    hit_wp = xp.where(hvalid, occ_wpos[src], _PINF)
+
+    # sort hits per fragment by (seqId, wpos) — computeMap.hpp:320
+    order = xp.lexsort((hit_wp, hit_sid), axis=-1)
+    hit_sid = take_along(xp, hit_sid, order, -1)
+    hit_wp = take_along(xp, hit_wp, order, -1)
+    hvalid = take_along(xp, hvalid, order, -1)
+
+    # minimum hits per fragment (>=1; computeMap.hpp:301,316-317)
+    m = min_hits_lut[xp.clip(s, 0, min_hits_lut.shape[0] - 1)]
+    m = xp.maximum(m, 1).astype(xp.int32)
+
+    # consecutive-hit window test (computeMap.hpp:322-336)
+    nvalid = hvalid.sum(axis=-1).astype(xp.int32)
+    pidx = xp.arange(hits_cap, dtype=xp.int32)
+    partner = pidx[None, :] + m[:, None] - 1
+    p_ok = partner < nvalid[:, None]
+    partner_c = xp.clip(partner, 0, hits_cap - 1)
+    sid2 = take_along(xp, hit_sid, partner_c, -1)
+    wp2 = take_along(xp, hit_wp, partner_c, -1)
+    cand_valid = hvalid & p_ok & (sid2 == hit_sid) & (wp2 - hit_wp < frag_len)
+    cand_start = xp.maximum(0, wp2 - frag_len + 1)
+    cand_end = hit_wp
+
+    # compact candidates (stable), then merge chains (computeMap.hpp:338-350)
+    corder = xp.lexsort((xp.where(cand_valid, 0, 1).astype(xp.int32),), axis=-1)
+    csid = take_along(xp, hit_sid, corder, -1)
+    cstart = take_along(xp, cand_start, corder, -1)
+    cend = take_along(xp, cand_end, corder, -1)
+    cvalid = take_along(xp, cand_valid, corder, -1)
+    prev_sid = xp.concatenate([xp.full((F, 1), -1, xp.int32), csid[:, :-1].astype(xp.int32)], axis=-1)
+    prev_end = xp.concatenate([xp.full((F, 1), -_PINF, xp.int32), cend[:, :-1].astype(xp.int32)], axis=-1)
+    new_group = cvalid & ((csid != prev_sid) | (cstart > prev_end))
+    n_groups = new_group.sum(axis=-1).astype(xp.int32)
+    overflow = overflow | (n_groups > cand_cap)
+
+    # leaders carry (sid, start); group end = member max = last member's end
+    lorder = xp.lexsort((xp.where(new_group, 0, 1).astype(xp.int32),), axis=-1)
+    lpos = take_along(xp, xp.broadcast_to(pidx, (F, hits_cap)), lorder, -1)[:, :cand_cap]
+    g_sid = take_along(xp, csid, lorder, -1)[:, :cand_cap].astype(xp.int32)
+    g_start = take_along(xp, cstart, lorder, -1)[:, :cand_cap].astype(xp.int32)
+    g_valid = xp.arange(cand_cap, dtype=xp.int32) < xp.minimum(n_groups, cand_cap)[:, None]
+    next_lpos = xp.concatenate([lpos[:, 1:], xp.full((F, 1), hits_cap, xp.int32)], axis=-1)
+    gcount = xp.arange(cand_cap, dtype=xp.int32)
+    next_is_real = (gcount + 1) < n_groups[:, None]
+    # last member of group g sits right before the next leader; for the last
+    # group it is the last valid candidate row
+    last_valid_idx = _last_true_index(xp, cvalid)
+    last_member = xp.where(next_is_real, next_lpos - 1, last_valid_idx[:, None])
+    g_end = take_along(xp, cend, xp.clip(last_member, 0, hits_cap - 1), -1).astype(xp.int32)
+    g_sid = xp.where(g_valid, g_sid, -1)
+    return L1Result(g_sid, g_start, g_end, g_valid, overflow)
+
+
+def _last_true_index(xp, mask):
+    """Per row, index of last True (or -1)."""
+    n = mask.shape[-1]
+    idx = xp.where(mask, xp.arange(n, dtype=xp.int32), -1)
+    return idx.max(axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# L2: sliding super-window Jaccard
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class L2Result:
+    shared: object    # (U,) int32 best shared sketch count
+    mean_pos: object  # (U,) int32 meanOptimalPos
+    valid: object     # (U,) bool
+    overflow: object  # (U,) bool — entry range exceeded ncap
+
+
+def _searchsorted_pairs(xp, a_sid, a_wpos, q_sid, q_wpos):
+    """lower_bound over global (seqId, wpos) pairs (winSketch.hpp:259-270)."""
+    n = a_sid.shape[0]
+    pos = xp.zeros(q_sid.shape, dtype=xp.int32)
+    if n == 0:
+        return pos
+    for b in reversed(range(int(n).bit_length())):
+        cand = pos + (1 << b)
+        ok = cand <= n
+        gi = xp.clip(cand - 1, 0, n - 1)
+        asid = a_sid[gi]
+        awp = a_wpos[gi]
+        lt = (asid < q_sid) | ((asid == q_sid) & (awp < q_wpos))
+        pos = xp.where(ok & lt, cand, pos)
+    return pos
+
+
+def l2_map_units(xp, qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
+                 mi_hash, mi_sid, mi_wpos, seq_start,
+                 frag_len: int, k: int, w: int, ncap: int):
+    """Batched L2 over work units.
+
+    qh (F, scap), s (F,); unit arrays (U,): fragment id, candidate contig /
+    range.  Index arrays are the build-order (seqId,wpos)-sorted globals.
+    Returns L2Result with per-unit best shared count and mean optimal pos.
+    """
+    U = u_sid.shape[0]
+    F, scap = qh.shape
+    M = mi_hash.shape[0]
+    C = frag_len - (w - 1) - (k - 1)  # countMinimizerWindows, computeMap.hpp:428
+
+    sid = xp.where(u_valid, u_sid, 0)
+    b0 = _searchsorted_pairs(xp, mi_sid, mi_wpos, sid, u_start)
+    b0c = xp.clip(b0, 0, max(M - 1, 0))
+    sw0 = xp.where(u_valid & (b0 < M), mi_wpos[b0c], 0)
+    e0 = _searchsorted_pairs(xp, mi_sid, mi_wpos, sid, sw0 + C)
+    eL = _searchsorted_pairs(xp, mi_sid, mi_wpos, sid, u_end + frag_len)
+    overflow = u_valid & ((eL - b0) > ncap)
+
+    # local entry window [b0, b0+ncap)
+    offs = xp.arange(ncap, dtype=xp.int32)
+    gidx = b0[:, None] + offs[None, :]
+    gc = xp.clip(gidx, 0, max(M - 1, 0))
+    in_contig = (gidx < M) & (mi_sid[gc] == sid[:, None])
+    lh = xp.where(in_contig, mi_hash[gc], xp.asarray(_UMAX))
+    lp = xp.where(in_contig, mi_wpos[gc], _PINF).astype(xp.int32)
+
+    e0_loc = xp.clip(e0 - b0, 0, ncap)
+    eL_loc = xp.clip(eL - b0, 0, ncap)
+
+    # ---- event enumeration: merge of begin-advance and end-advance values
+    iidx = offs[None, :]
+    va = xp.where(iidx >= 1, lp, _PINF)                       # pos[i], i>=1
+    vb = xp.where(iidx >= e0_loc[:, None], lp - C + 1, _PINF)  # pos[j]-C+1
+    events = xp.sort(xp.concatenate([va, vb], axis=-1), axis=-1)  # (U, 2*ncap)
+    v = xp.concatenate([sw0[:, None], events], axis=-1)           # (U, T)
+    T = 2 * ncap + 1
+
+    lp1 = lp[:, 1:]  # pos[i], i>=1 (sorted; padded +inf)
+    lb = batched_searchsorted(xp, lp1, v, side="right")  # local begin index
+    cnt_le = batched_searchsorted(xp, lp, v + C - 1, side="right")
+    le = xp.maximum(e0_loc[:, None], cnt_le)             # local end index
+    ev_valid = (v < _PINF // 2) & ((b0[:, None] + le) < eL[:, None]) & u_valid[:, None]
+    # NB: le is clipped at ncap; windows truncated by ncap are covered by the
+    # overflow flag and recomputed exactly on host.
+
+    # ---- per-event shared sketch count over hash-sorted local entries
+    order = xp.lexsort((offs[None, :] * xp.ones((U, 1), xp.int32), lh), axis=-1)
+    lh_s = take_along(xp, lh, order, -1)
+    pidx_s = take_along(xp, xp.broadcast_to(offs, (U, ncap)), order, -1)
+    valid_s = take_along(xp, in_contig, order, -1)
+    prev_h = xp.concatenate([xp.full((U, 1), _UMAX, xp.uint32), lh_s[:, :-1]], axis=-1)
+    prev_pidx = xp.concatenate([xp.full((U, 1), -1, xp.int32), pidx_s[:, :-1]], axis=-1)
+    prev_same = xp.where(lh_s == prev_h, prev_pidx, -1)
+
+    qh_u = qh[frag_of_unit]          # (U, scap)
+    s_u = s[frag_of_unit]            # (U,)
+    qpos = batched_searchsorted(xp, qh_u, lh_s, side="left")
+    qpos_c = xp.clip(qpos, 0, scap - 1)
+    inq = (qpos < s_u[:, None]) & (take_along(xp, qh_u, qpos_c, -1) == lh_s) & valid_s
+
+    # windows per event: content = pidx in [lb, le)
+    inw = (pidx_s[:, None, :] >= lb[:, :, None]) & (pidx_s[:, None, :] < le[:, :, None])  # (U,T,ncap)
+    firstocc = prev_same[:, None, :] < lb[:, :, None]
+    a_mat = inw & (~inq)[:, None, :] & firstocc & valid_s[:, None, :]
+    b_mat = inw & valid_s[:, None, :]
+    ca = xp.cumsum(a_mat.astype(xp.int32), axis=-1)
+    cb = xp.cumsum(b_mat.astype(xp.int32), axis=-1)
+    zero = xp.zeros((U, T, 1), xp.int32)
+    ca0 = xp.concatenate([zero, ca], axis=-1)  # exclusive prefix
+    cb0 = xp.concatenate([zero, cb], axis=-1)
+
+    qlo = batched_searchsorted(xp, lh_s, qh_u, side="left")   # (U, scap)
+    qhi = batched_searchsorted(xp, lh_s, qh_u, side="right")
+    qlo_b = xp.broadcast_to(qlo[:, None, :], (U, T, scap))
+    qhi_b = xp.broadcast_to(qhi[:, None, :], (U, T, scap))
+    d_j = take_along(xp, ca0, qlo_b, -1)                      # (U, T, scap)
+    present = (take_along(xp, cb0, qhi_b, -1) - take_along(xp, cb0, qlo_b, -1)) > 0
+    jrank = xp.arange(scap, dtype=xp.int32)
+    contrib = present & (jrank[None, None, :] + d_j < s_u[:, None, None]) & (jrank[None, None, :] < s_u[:, None, None])
+    s_t = contrib.sum(axis=-1).astype(xp.int32)               # (U, T)
+
+    s_masked = xp.where(ev_valid, s_t, -1)
+    best = s_masked.max(axis=-1)
+    first_t = xp.argmax(s_masked, axis=-1).astype(xp.int32)
+    last_t = (T - 1) - xp.argmax(s_masked[:, ::-1], axis=-1).astype(xp.int32)
+    lb_first = take_along(xp, lb, first_t[:, None], -1)[:, 0]
+    lb_last = take_along(xp, lb, last_t[:, None], -1)[:, 0]
+    pos_first = take_along(xp, lp, xp.clip(lb_first, 0, ncap - 1)[:, None], -1)[:, 0]
+    pos_last = take_along(xp, lp, xp.clip(lb_last, 0, ncap - 1)[:, None], -1)[:, 0]
+    mean_pos = (pos_first + pos_last) // 2
+    shared = xp.maximum(best, 0)
+    valid = u_valid & (best > 0)
+    mean_pos = xp.where(valid, mean_pos, 0)
+    return L2Result(shared, mean_pos, valid, overflow)

@@ -1,0 +1,187 @@
+"""Winnowed-minimizer extraction.
+
+Replicates the reference's streaming deque winnowing
+(reference: src/map/include/commonFunc.hpp:92-167) with a data-parallel
+formulation suited to TPUs:
+
+The C++ algorithm, restated declaratively (proved equivalent; unit tests
+compare against a literal deque model):
+
+* position i in [0, L-k] is *valid* iff hash(fwd kmer) != hash(revcomp kmer)
+  (symmetric k-mers are skipped entirely — including the emission check);
+* canonical hash h[i] = min(fwd, bwd) as uint32;
+* at each valid i >= w-1 (an *event*), the selected position p(i) is the
+  RIGHTMOST argmin of h over valid positions in [i-w+1, i] (the deque's
+  back-pop uses >=, so equal minima resolve to the newest position);
+* a minimizer (h[p(i)], seqId, wpos=i-w+1) is emitted exactly when p(i)
+  differs from p at the previous event (or at the first event of the
+  sequence): the reference's "save if we are seeing it for first time"
+  dedupe against minimizerIndex.back().
+
+The windowed argmin uses the blocked prefix/suffix (two-stacks) scheme:
+O(n) work, fully vectorized — the same recurrence as the parallel
+sliding-window-sum construction (Zhang et al., arXiv:1811.10074).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastani_tpu.ops import hashing
+
+_U32 = jnp.uint32
+_UMAX = np.uint32(0xFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# Literal deque model (oracle; mirrors commonFunc.hpp:92-167 step by step)
+# ---------------------------------------------------------------------------
+
+def winnow_model(seq: np.ndarray, k: int, w: int, seq_id: int = 0):
+    """Exact scalar model. Returns (hash u32[], wpos i32[]) arrays."""
+    seq = hashing.upper_np(np.asarray(seq, dtype=np.uint8))
+    L = len(seq)
+    out_h, out_w = [], []
+    if L - k + 1 <= 0:
+        return np.array(out_h, np.uint32), np.array(out_w, np.int32)
+    rev = hashing.revcomp_np(seq)
+    hf = hashing.kmer_hashes_np(seq, k)
+    hb_arr = hashing.kmer_hashes_np(rev, k)
+
+    q = deque()  # entries: [hash, push_pos, wpos] (wpos mutated on emit)
+    last_emitted = None
+    for i in range(L - k + 1):
+        cwid = i - w + 1
+        fwd = hf[i]
+        bwd = hb_arr[L - i - k]
+        if fwd == bwd:
+            continue
+        cur = min(fwd, bwd)
+        while q and q[0][1] <= i - w:
+            q.popleft()
+        while q and q[-1][0] >= cur:
+            q.pop()
+        q.append([cur, i, -1])
+        if cwid >= 0:
+            front = q[0]
+            triple = (int(front[0]), seq_id, int(front[2]))
+            if last_emitted is None or triple != last_emitted:
+                front[2] = cwid
+                out_h.append(int(front[0]))
+                out_w.append(cwid)
+                last_emitted = (int(front[0]), seq_id, cwid)
+    return np.array(out_h, np.uint32), np.array(out_w, np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized JAX kernel
+# ---------------------------------------------------------------------------
+
+def _pair_min(a, b):
+    """Lexicographic min over (hash asc, pos desc) pairs."""
+    ah, ap = a
+    bh, bp = b
+    take_a = (ah < bh) | ((ah == bh) & (ap > bp))
+    return jnp.where(take_a, ah, bh), jnp.where(take_a, ap, bp)
+
+
+def _sliding_argmin(key_h, key_p, w: int):
+    """win[i] = pair-min over positions [max(0, i-w+1), i].
+
+    Blocked prefix/suffix scheme with block size w; O(n) work.
+    key_h/key_p are 1-D arrays of equal length n (already masked).
+    """
+    n = key_h.shape[0]
+    nb = -(-n // w)
+    pad = nb * w - n
+    ph = jnp.pad(key_h, (0, pad), constant_values=_UMAX)
+    pp = jnp.pad(key_p, (0, pad), constant_values=-1)
+    bh = ph.reshape(nb, w)
+    bp = pp.reshape(nb, w)
+    # prefix pair-min within block (inclusive)
+    pre_h, pre_p = jax.lax.associative_scan(_pair_min, (bh, bp), axis=1)
+    # suffix pair-min within block (inclusive)
+    suf_h, suf_p = jax.lax.associative_scan(_pair_min, (bh[:, ::-1], bp[:, ::-1]), axis=1)
+    suf_h, suf_p = suf_h[:, ::-1], suf_p[:, ::-1]
+    pre_h, pre_p = pre_h.reshape(-1)[:n], pre_p.reshape(-1)[:n]
+    suf_h, suf_p = suf_h.reshape(-1), suf_p.reshape(-1)
+    # window start index (clamped)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    start = jnp.maximum(idx - (w - 1), 0)
+    sh = suf_h[start]
+    sp = suf_p[start]
+    return _pair_min((sh, sp), (pre_h, pre_p))
+
+
+def winnow_dense(seq_u8, k: int, w: int, true_len):
+    """Dense winnowing of one (possibly padded) sequence row.
+
+    seq_u8: (Lp,) uint8, uppercased bytes (pad arbitrary).
+    true_len: scalar (traced ok) — actual sequence length <= Lp.
+
+    Returns (emit bool[n], hash u32[n], wpos i32[n]) with n = Lp-k+1;
+    emitted minimizers are at emit positions, hash = canonical hash of the
+    selected argmin position, wpos = i-w+1.
+    """
+    Lp = seq_u8.shape[0]
+    n = Lp - k + 1
+    hf = hashing.kmer_hashes_jax(seq_u8, k)
+    hb = hashing.kmer_hashes_jax(hashing.revcomp_jax(seq_u8), k)[::-1]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    valid = (hf != hb) & (idx <= true_len - k)
+    h = jnp.minimum(hf, hb)
+
+    key_h = jnp.where(valid, h, _UMAX)
+    key_p = jnp.where(valid, idx, -1)
+    win_h, win_p = _sliding_argmin(key_h, key_p, w)
+
+    event = valid & (idx >= w - 1)
+    # previous event index (exclusive) via cumulative max of event positions
+    ev_idx = jnp.where(event, idx, -1)
+    last_ev = jax.lax.cummax(ev_idx)
+    prev_ev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), last_ev[:-1]])
+    prev_sel = jnp.where(prev_ev >= 0, win_p[jnp.maximum(prev_ev, 0)], -2)
+    emit = event & (win_p != prev_sel)
+    out_h = win_h
+    out_w = idx - (w - 1)
+    return emit, out_h, out_w
+
+
+def _bucket_len(L: int) -> int:
+    """Pad lengths into coarse buckets so jit compiles once per bucket, not
+    once per contig length."""
+    if L <= 4096:
+        return 4096
+    b = 1 << (L - 1).bit_length()  # next power of two
+    # refine to quarters of the power of two to bound padding waste at 25%
+    for frac in (b // 2 + b // 8, b // 2 + b // 4, b // 2 + 3 * b // 8):
+        if L <= frac:
+            return frac
+    return b
+
+
+def winnow_sequence_np(seq: np.ndarray, k: int, w: int):
+    """Host path: vectorized winnowing of one contig via the JAX kernel,
+    compacted to (hash, wpos) numpy arrays."""
+    seq = hashing.upper_np(np.asarray(seq, dtype=np.uint8))
+    L = len(seq)
+    if L - k + 1 <= 0 or L < w:
+        return np.array([], np.uint32), np.array([], np.int32)
+    Lp = _bucket_len(L)
+    padded = np.zeros(Lp, dtype=np.uint8)
+    padded[:L] = seq
+    emit, h, wpos = _winnow_jit(jnp.asarray(padded), k, w, L)
+    emit = np.asarray(emit)
+    return np.asarray(h)[emit], np.asarray(wpos)[emit]
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _winnow_jit(seq, k, w, true_len):
+    return winnow_dense(seq, k, w, true_len)

@@ -7,7 +7,13 @@ across backends by construction.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The session environment exports JAX_PLATFORMS=axon (TPU tunnel); the env
+# var alone does not displace the plugin — jax.config.update does.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
