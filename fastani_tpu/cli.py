@@ -1,0 +1,118 @@
+"""Command-line interface mirroring the reference fastANI flags.
+
+Reference: src/map/include/parseCmdArgs.hpp:114-234.  Usage:
+
+    python -m fastani_tpu.cli -q genome1.fa -r genome2.fa -o output.txt
+    python -m fastani_tpu.cli --ql queries.txt --rl refs.txt -o out.txt --matrix
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List
+
+from fastani_tpu import __version__
+from fastani_tpu.config import Parameters
+
+
+def parse_file_list(path: str) -> List[str]:
+    out = []
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    out.append(line)
+    except OSError:
+        print(f"ERROR, fastani_tpu, could not open {path}", file=sys.stderr)
+        raise SystemExit(1)
+    return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="fastani_tpu",
+        description="TPU-native alignment-free whole-genome ANI computation "
+                    "(capabilities of ParBLiSS/FastANI)")
+    p.add_argument("-r", "--ref", help="reference genome (fasta/fastq)[.gz]")
+    p.add_argument("--rl", "--refList", dest="refList",
+                   help="file with list of reference genomes, one per line")
+    p.add_argument("-q", "--query", help="query genome (fasta/fastq)[.gz]")
+    p.add_argument("--ql", "--queryList", dest="queryList",
+                   help="file with list of query genomes, one per line")
+    p.add_argument("-k", "--kmer", type=int, default=16, help="kmer size <= 16 [16]")
+    p.add_argument("-t", "--threads", type=int, default=1,
+                   help="accepted for compatibility; output is shard-count invariant")
+    p.add_argument("--fragLen", type=int, default=3000, help="fragment length [3000]")
+    p.add_argument("--minFraction", type=float, default=0.2,
+                   help="minimum shared-genome fraction for trusting ANI [0.2]")
+    p.add_argument("--maxRatioDiff", type=float, default=100.0,
+                   help="max sanity-check ratio difference [100.0]")
+    p.add_argument("--visualize", action="store_true",
+                   help="output mappings for visualization (.visual)")
+    p.add_argument("--matrix", action="store_true",
+                   help="also output phylip-style lower-triangular matrix")
+    p.add_argument("-o", "--output", required=False, help="output file name")
+    p.add_argument("-s", "--sanityCheck", action="store_true", help="run sanity check")
+    p.add_argument("-v", "--version", action="store_true", help="show version")
+    p.add_argument("--backend", choices=["numpy", "jax"], default="numpy",
+                   help="compute backend (jax = TPU path)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.version:
+        print(f"fastani_tpu {__version__}")
+        return 0
+    if not args.ref and not args.refList:
+        print("Provide reference file(s)", file=sys.stderr)
+        return 1
+    if not args.query and not args.queryList:
+        print("Provide query file(s)", file=sys.stderr)
+        return 1
+    if not args.output:
+        print("Provide output file (-o)", file=sys.stderr)
+        return 1
+
+    if args.backend != "jax":
+        # the host backend still jits winnowing on CPU; don't require a TPU
+        # runtime (the session's axon plugin only registers in some cwds)
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+    params = Parameters(
+        kmer_size=args.kmer,
+        frag_len=args.fragLen,
+        min_fraction=args.minFraction,
+        max_ratio_diff=args.maxRatioDiff,
+        visualize=args.visualize,
+        matrix_output=args.matrix,
+        sanity_check=args.sanityCheck,
+        threads=args.threads,
+        out_file_name=args.output,
+        ref_sequences=[args.ref] if args.ref else parse_file_list(args.refList),
+        query_sequences=[args.query] if args.query else parse_file_list(args.queryList),
+    )
+    from fastani_tpu.models import pipeline
+
+    print(">>>>>>>>>>>>>>>>>>", file=sys.stderr)
+    print(f"Reference = {params.ref_sequences}", file=sys.stderr)
+    print(f"Query = {params.query_sequences}", file=sys.stderr)
+    print(f"Kmer size = {params.kmer_size}", file=sys.stderr)
+    print(f"Fragment length = {params.frag_len}", file=sys.stderr)
+    print(f"ANI output file = {params.out_file_name}", file=sys.stderr)
+    print(f"Backend = {args.backend}", file=sys.stderr)
+    print(">>>>>>>>>>>>>>>>>>", file=sys.stderr)
+
+    pipeline.run(params, backend=args.backend)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,111 @@
+"""ANI aggregation: fragment mappings -> per-genome-pair identity.
+
+Host-side segment-reduction replication of cgi::computeCGI and the output
+writers (reference: src/cgi/include/computeCoreIdentity.hpp:166-298,
+:307-448, :103-153).  All identity arithmetic reproduces the reference's
+float32 accumulation order exactly (the per-pair mean is a sequential
+float32 left fold over the 2-way-sorted mappings).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from fastani_tpu.utils.refmodel import Mapping
+
+
+@dataclasses.dataclass
+class CGIResult:
+    qry_genome: int       # index into params.query_sequences
+    ref_genome: int       # index into params.ref_sequences
+    count_seq: int
+    total_query_fragments: int
+    identity: np.float32
+
+
+@dataclasses.dataclass
+class VisualRow:
+    """One reciprocal mapping destined for the .visual file."""
+    genome_id: int
+    ref_seq_id: int
+    query_seq_id: int
+    ref_start: int
+    query_start: int
+    identity: np.float32
+
+
+def compute_cgi(
+    mappings: List[Mapping],
+    genome_of_seq: np.ndarray,
+    frag_len: int,
+    query_file_no: int,
+    total_query_fragments: int,
+) -> Tuple[List[CGIResult], List[VisualRow]]:
+    """computeCoreIdentity.hpp:166-298 as vectorized segment reductions.
+
+    Returns per-ref-genome CGI rows plus the 2-way (reciprocal-best)
+    mappings in the exact order the reference emits them to the .visual
+    file.
+    """
+    if not mappings:
+        return [], []
+    ref_sid = np.array([m.ref_seq_id for m in mappings], np.int64)
+    qsid = np.array([m.query_seq_id for m in mappings], np.int64)
+    ref_start = np.array([m.ref_start_pos for m in mappings], np.int64)
+    ident = np.array([m.nuc_identity for m in mappings], np.float32)
+    qstart = np.zeros(len(mappings), np.int64)  # queryStartPos is always 0
+    gid = genome_of_seq[ref_sid]
+    pos_bin = ref_start // (frag_len - 20)  # computeCoreIdentity.hpp:194
+
+    # 1-way: best per (genomeId, querySeqId); ascending sort + keep-last
+    # replicates the overwrite loop at :212-232 with the deterministic
+    # tie-breakers of cmp_query_bucket (cgid_types.hpp:31-39).
+    o1 = np.lexsort((ref_start, ref_sid, ident, qsid, gid))
+    g1, q1 = gid[o1], qsid[o1]
+    is_last1 = np.ones(len(o1), bool)
+    is_last1[:-1] = (g1[:-1] != g1[1:]) | (q1[:-1] != q1[1:])
+    k1 = o1[is_last1]
+
+    # 2-way: best per (refSequenceId, mapRefPosBin) among the 1-way rows
+    # (:237-255).  cmp_refbin_bucket has no tie-breaker beyond identity;
+    # we add (querySeqId, queryStartPos) for determinism.
+    o2 = k1[np.lexsort((qstart[k1], qsid[k1], ident[k1], pos_bin[k1], ref_sid[k1]))]
+    r2, b2 = ref_sid[o2], pos_bin[o2]
+    is_last2 = np.ones(len(o2), bool)
+    is_last2[:-1] = (r2[:-1] != r2[1:]) | (b2[:-1] != b2[1:])
+    k2 = o2[is_last2]
+
+    visual = [
+        VisualRow(int(gid[i]), int(ref_sid[i]), int(qsid[i]),
+                  int(ref_start[i]), int(qstart[i]), ident[i])
+        for i in k2
+    ]
+
+    # per-genome mean identity: sequential float32 fold in 2-way order
+    # (:267-297); k2 is sorted by refSeqId so genome ids are contiguous.
+    out: List[CGIResult] = []
+    g2 = gid[k2]
+    id2 = ident[k2]
+    start = 0
+    n = len(k2)
+    while start < n:
+        end = start
+        g = g2[start]
+        while end < n and g2[end] == g:
+            end += 1
+        acc = np.float32(0.0)
+        for v in id2[start:end]:
+            acc = np.float32(acc + v)
+        count = end - start
+        out.append(CGIResult(
+            qry_genome=query_file_no,
+            ref_genome=int(g),
+            count_seq=count,
+            total_query_fragments=total_query_fragments,
+            identity=np.float32(acc / np.float32(count)),
+        ))
+        start = end
+    return out, visual

@@ -35,7 +35,10 @@ def j2md(j: float, k: int) -> np.float32:
         return _f32(1.0)
     if j == 1:
         return _f32(0.0)
-    return _f32((-1.0 / k) * math.log(2.0 * float(j) / (1 + float(j))))
+    # `1+j` is an int+float expression in C++ — a float32 addition; the
+    # division and log then run in double on the f32-rounded denominator.
+    denom = _f32(_f32(1) + j)
+    return _f32((-1.0 / k) * math.log(2.0 * float(j) / float(denom)))
 
 
 def md2j(d: float, k: int) -> np.float32:
@@ -171,8 +174,10 @@ def identity_lut(s: int, k: int) -> tuple:
     for c in range(s + 1):
         mash = j2md(_f32(1.0 * c / s), k)
         lower = md_lower_bound(mash, s, k, 0.9)
-        ident[c] = _f32(100 * (1 - float(mash)))
-        upper[c] = _f32(100 * (1 - float(lower)))
+        # `100 * (1 - mash_dist)` is all-float in C++ (int operands promote
+        # to float): two float32 operations, not one double rounding.
+        ident[c] = _f32(_f32(100) * _f32(_f32(1) - mash))
+        upper[c] = _f32(_f32(100) * _f32(_f32(1) - lower))
     return ident, upper
 
 

@@ -1,0 +1,101 @@
+"""End-to-end golden tests: our pipeline vs the reference binary.
+
+Builds the reference fastANI from /root/reference (with the local beta shim)
+and compares full outputs — ANI TSV, phylip matrix, .visual rows — on
+deterministic synthetic genome sets.  Line sets are compared sorted, the
+same way the reference's own Catch2 suite compares goldens
+(/root/reference/tests/fastani_tests.cpp:22-31).
+"""
+
+import os
+import pathlib
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from tests import synth
+
+pytestmark = pytest.mark.e2e
+
+
+def _read_sorted(path):
+    with open(path) as f:
+        return sorted(line.rstrip("\n") for line in f if line.strip())
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    wd = tmp_path_factory.mktemp("e2e")
+    rng = np.random.default_rng(2024)
+    base = synth.random_genome(rng, 150_000)
+    strain_a = synth.mutate_genome(rng, base, sub_rate=0.02, indel_rate=0.0003)
+    strain_b = synth.mutate_genome(rng, base, sub_rate=0.05, indel_rate=0.0005)
+    # multi-contig genome: 3 contigs, one too short to map
+    multi = [
+        ("m_ctg1", synth.mutate_genome(rng, base[:80_000], 0.01)),
+        ("m_short", synth.random_genome(rng, 800)),
+        ("m_ctg2", synth.mutate_genome(rng, base[80_000:], 0.03)),
+    ]
+    synth.write_fasta(wd / "base.fa", [("base_ctg", base)])
+    synth.write_fasta(wd / "strainA.fa", [("sA_ctg", strain_a)])
+    synth.write_fasta(wd / "strainB.fa", [("sB_ctg", strain_b)])
+    synth.write_fasta(wd / "multi.fa", multi)
+    (wd / "refs.txt").write_text("strainA.fa\nstrainB.fa\n")
+    return wd
+
+
+def run_ours(wd, args):
+    from fastani_tpu import cli
+
+    cwd = os.getcwd()
+    os.chdir(wd)
+    try:
+        rc = cli.main(args)
+        assert rc == 0
+    finally:
+        os.chdir(cwd)
+
+
+def compare_outputs(wd, ours, oracle, visual=False, matrix=False):
+    assert _read_sorted(wd / ours) == _read_sorted(wd / oracle), "ANI TSV differs"
+    if matrix:
+        assert _read_sorted(wd / (ours + ".matrix")) == _read_sorted(wd / (oracle + ".matrix")), "matrix differs"
+    if visual:
+        assert _read_sorted(wd / (ours + ".visual")) == _read_sorted(wd / (oracle + ".visual")), "visual differs"
+
+
+def test_one_to_one(workdir):
+    wd = workdir
+    synth.run_oracle(str(wd), ["-q", "base.fa", "-r", "strainA.fa",
+                               "-o", "o_ref.txt", "--visualize", "--matrix"])
+    run_ours(wd, ["-q", "base.fa", "-r", "strainA.fa", "-o", "o_our.txt",
+                  "--visualize", "--matrix"])
+    compare_outputs(wd, "o_our.txt", "o_ref.txt", visual=True, matrix=True)
+
+
+def test_one_to_many_multicontig(workdir):
+    wd = workdir
+    synth.run_oracle(str(wd), ["-q", "multi.fa", "--rl", "refs.txt",
+                               "-o", "m_ref.txt", "--visualize", "--matrix"])
+    run_ours(wd, ["-q", "multi.fa", "--rl", "refs.txt", "-o", "m_our.txt",
+                  "--visualize", "--matrix"])
+    compare_outputs(wd, "m_our.txt", "m_ref.txt", visual=True, matrix=True)
+
+
+def test_repeat_sanity_check_zero_rows(workdir):
+    wd = workdir
+    # degenerate repeat genomes (reference tests/gen_tests_data.py pattern):
+    # pure-A query vs 8A+1T repeat reference must produce zero output rows
+    unit = b"A" * 32
+    q = np.frombuffer((unit * ((300_000 // len(unit)) + 1))[:300_000], np.uint8)
+    unit2 = b"A" * 8 + b"T"
+    r = np.frombuffer((unit2 * ((300_000 // len(unit2)) + 1))[:300_000], np.uint8)
+    synth.write_fasta(wd / "rpt_q.fa", [("q", q.copy())])
+    synth.write_fasta(wd / "rpt_r.fa", [("r", r.copy())])
+    synth.run_oracle(str(wd), ["-q", "rpt_q.fa", "-r", "rpt_r.fa",
+                               "-o", "r_ref.txt", "-s", "--matrix"])
+    run_ours(wd, ["-q", "rpt_q.fa", "-r", "rpt_r.fa", "-o", "r_our.txt",
+                  "-s", "--matrix"])
+    assert _read_sorted(wd / "r_our.txt") == _read_sorted(wd / "r_ref.txt") == []
