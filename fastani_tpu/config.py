@@ -50,10 +50,10 @@ class Parameters:
     # ---- TPU engine capacities (padding caps for ragged data; overflow falls
     # back to the exact host model, never silently truncates) ----
     frag_batch: int = 2048               # fragments mapped per device batch
-    sketch_cap: int = 768                # max minimizers kept per fragment
+    sketch_cap: int = 512                # max unique minimizers per fragment
     hits_cap: int = 4096                 # max L1 seed hits per fragment
     cand_cap: int = 64                   # max L1 candidate regions per fragment
-    l2_entry_cap: int = 1024             # max ref index entries per L2 work unit
+    l2_entry_cap: int = 768              # max ref index entries per L2 work unit
 
     def resolved_window_size(self) -> int:
         if self.window_size is not None:

@@ -89,10 +89,12 @@ def map_fragment_batch(xp, frags_u8, index, params, generous: bool = False):
                                          np.asarray(u_end) + l)
         ncap = max(int((eL - b0).max()), 8) + 1
 
-    # L2 in unit chunks: the event matrices are (chunk, 2*ncap+1, ncap); keep
-    # the working set bounded (~100 MB)
+    # L2 in unit chunks: static rank tables are (chunk, scap, ncap+1) and the
+    # event queries (chunk, 2*ncap+1, scap); keep the working set ~100 MB
     U = len(frag_ids)
-    chunk = max(1, int(100e6 / (max(2 * ncap + 1, 1) * max(ncap, 1) * 4)))
+    T = 2 * ncap + 1
+    bytes_per_unit = scap * (ncap + 1) * 8 + T * (scap * 24 + 4 * 128)
+    chunk = max(1, int(100e6 / max(bytes_per_unit, 1)))
     sh_parts, mp_parts, va_parts, ov_parts = [], [], [], []
     for c0 in range(0, U, chunk):
         c1 = min(c0 + chunk, U)

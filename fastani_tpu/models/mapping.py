@@ -288,12 +288,24 @@ def _searchsorted_pairs(xp, a_sid, a_wpos, q_sid, q_wpos):
 
 def l2_map_units(xp, qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
                  mi_hash, mi_sid, mi_wpos, seq_start,
-                 frag_len: int, k: int, w: int, ncap: int):
+                 frag_len: int, k: int, w: int, ncap: int,
+                 pair_cap: int = 128):
     """Batched L2 over work units.
 
     qh (F, scap), s (F,); unit arrays (U,): fragment id, candidate contig /
     range.  Index arrays are the build-order (seqId,wpos)-sorted globals.
     Returns L2Result with per-unit best shared count and mean optimal pos.
+
+    Work layout (TPU-lean form): per unit, two STATIC prefix tables over
+    (query rank x entry position) answer each event's rank queries with
+    O(scap) gathers instead of an O(ncap) cumsum per event:
+      M1[j, x] = #{entries i < x : nonQ, hash < q_j}   (occurrences)
+      M2[j, x] = #{entries i < x : hash == q_j}
+    In-window duplicate hashes (the reference's ordered-map set semantics)
+    are corrected by a compact list of consecutive same-hash position pairs:
+    a duplicate exists in [lb,le) iff both pair ends are inside, so
+      distinct nonQ below q_j = (M1 diff) - (# active pairs with hash < q_j).
+    Units with more than pair_cap such pairs overflow to the host path.
     """
     U = u_sid.shape[0]
     F, scap = qh.shape
@@ -335,41 +347,71 @@ def l2_map_units(xp, qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
     # NB: le is clipped at ncap; windows truncated by ncap are covered by the
     # overflow flag and recomputed exactly on host.
 
-    # ---- per-event shared sketch count over hash-sorted local entries
+    # ---- static per-unit rank tables
+    qh_u = qh[frag_of_unit]          # (U, scap)
+    s_u = s[frag_of_unit]            # (U,)
+    # jr[i] = #{query hashes < hash_i}; exact-match rank via left search
+    jr = batched_searchsorted(xp, qh_u, lh, side="right")      # (U, ncap)
+    ql = batched_searchsorted(xp, qh_u, lh, side="left")
+    qlc = xp.clip(ql, 0, scap - 1)
+    inq = (ql < s_u[:, None]) & (take_along(xp, qh_u, qlc, -1) == lh) & in_contig
+    nonq = in_contig & ~inq
+
+    jrow = xp.arange(scap, dtype=xp.int32)
+    # M1[j, x]: cumsum over entry positions of (nonQ & jr_i <= j)
+    below = nonq[:, None, :] & (jr[:, None, :] <= jrow[None, :, None])   # (U, scap, ncap)
+    m1 = xp.cumsum(below.astype(xp.int32), axis=-1)
+    m1 = xp.concatenate([xp.zeros((U, scap, 1), xp.int32), m1], axis=-1)  # (U, scap, ncap+1)
+    # M2[j, x]: occurrences of q_j among entries < x
+    match = inq[:, None, :] & (ql[:, None, :] == jrow[None, :, None])
+    m2 = xp.cumsum(match.astype(xp.int32), axis=-1)
+    m2 = xp.concatenate([xp.zeros((U, scap, 1), xp.int32), m2], axis=-1)
+
+    # ---- duplicate-pair list (consecutive same-hash occurrences, pos order)
     order = xp.lexsort((offs[None, :] * xp.ones((U, 1), xp.int32), lh), axis=-1)
     lh_s = take_along(xp, lh, order, -1)
     pidx_s = take_along(xp, xp.broadcast_to(offs, (U, ncap)), order, -1)
-    valid_s = take_along(xp, in_contig, order, -1)
     prev_h = xp.concatenate([xp.full((U, 1), _UMAX, xp.uint32), lh_s[:, :-1]], axis=-1)
     prev_pidx = xp.concatenate([xp.full((U, 1), -1, xp.int32), pidx_s[:, :-1]], axis=-1)
-    prev_same = xp.where(lh_s == prev_h, prev_pidx, -1)
+    valid_s = take_along(xp, in_contig, order, -1)
+    is_pair = (lh_s == prev_h) & valid_s
+    # compact pairs sorted by their hash's query rank (jr), for rank queries
+    jr_s = take_along(xp, jr, xp.clip(pidx_s, 0, ncap - 1), -1)
+    nonq_s = take_along(xp, nonq, xp.clip(pidx_s, 0, ncap - 1), -1)
+    n_pairs = (is_pair & nonq_s).sum(axis=-1).astype(xp.int32)
+    overflow = overflow | (n_pairs > pair_cap)
+    pair_key = xp.where(is_pair & nonq_s, jr_s, scap + 1)
+    porder = xp.lexsort((pair_key,), axis=-1)[:, :pair_cap]
+    pr_jr = take_along(xp, pair_key, porder, -1)               # (U, pcap) sorted
+    pr_prev = take_along(xp, prev_pidx, porder, -1)
+    pr_this = take_along(xp, pidx_s, porder, -1)
+    pr_ok = pr_jr <= scap
 
-    qh_u = qh[frag_of_unit]          # (U, scap)
-    s_u = s[frag_of_unit]            # (U,)
-    qpos = batched_searchsorted(xp, qh_u, lh_s, side="left")
-    qpos_c = xp.clip(qpos, 0, scap - 1)
-    inq = (qpos < s_u[:, None]) & (take_along(xp, qh_u, qpos_c, -1) == lh_s) & valid_s
+    # pair activity per event: both ends inside [lb, le)
+    act = pr_ok[:, None, :] & (pr_prev[:, None, :] >= lb[:, :, None]) \
+        & (pr_this[:, None, :] < le[:, :, None])               # (U, T, pcap)
+    cact = xp.cumsum(act.astype(xp.int32), axis=-1)
+    cact = xp.concatenate([xp.zeros((U, T, 1), xp.int32), cact], axis=-1)
+    # dup_j = # active pairs with jr <= j  -> gather at searchsorted(pr_jr, j)
+    pj = batched_searchsorted(xp, pr_jr, jrow[None, :].astype(xp.int32),
+                              side="right")                    # (U, scap)
+    dup = take_along(xp, cact, xp.broadcast_to(pj[:, None, :], (U, T, scap)), -1)
 
-    # windows per event: content = pidx in [lb, le)
-    inw = (pidx_s[:, None, :] >= lb[:, :, None]) & (pidx_s[:, None, :] < le[:, :, None])  # (U,T,ncap)
-    firstocc = prev_same[:, None, :] < lb[:, :, None]
-    a_mat = inw & (~inq)[:, None, :] & firstocc & valid_s[:, None, :]
-    b_mat = inw & valid_s[:, None, :]
-    ca = xp.cumsum(a_mat.astype(xp.int32), axis=-1)
-    cb = xp.cumsum(b_mat.astype(xp.int32), axis=-1)
-    zero = xp.zeros((U, T, 1), xp.int32)
-    ca0 = xp.concatenate([zero, ca], axis=-1)  # exclusive prefix
-    cb0 = xp.concatenate([zero, cb], axis=-1)
-
-    qlo = batched_searchsorted(xp, lh_s, qh_u, side="left")   # (U, scap)
-    qhi = batched_searchsorted(xp, lh_s, qh_u, side="right")
-    qlo_b = xp.broadcast_to(qlo[:, None, :], (U, T, scap))
-    qhi_b = xp.broadcast_to(qhi[:, None, :], (U, T, scap))
-    d_j = take_along(xp, ca0, qlo_b, -1)                      # (U, T, scap)
-    present = (take_along(xp, cb0, qhi_b, -1) - take_along(xp, cb0, qlo_b, -1)) > 0
-    jrank = xp.arange(scap, dtype=xp.int32)
-    contrib = present & (jrank[None, None, :] + d_j < s_u[:, None, None]) & (jrank[None, None, :] < s_u[:, None, None])
-    s_t = contrib.sum(axis=-1).astype(xp.int32)               # (U, T)
+    # ---- per-event rank queries from the static tables
+    # D_j(t) = M1[j, le] - M1[j, lb] - dup_j(t); present_j(t) = M2 diff > 0
+    m1t = xp.swapaxes(m1, -1, -2)                              # (U, ncap+1, scap)
+    m2t = xp.swapaxes(m2, -1, -2)
+    le_b = xp.clip(le, 0, ncap)[:, :, None]
+    lb_b = xp.clip(lb, 0, ncap)[:, :, None]
+    m1_le = take_along(xp, m1t, xp.broadcast_to(le_b, (U, T, scap)), -2)
+    m1_lb = take_along(xp, m1t, xp.broadcast_to(lb_b, (U, T, scap)), -2)
+    m2_le = take_along(xp, m2t, xp.broadcast_to(le_b, (U, T, scap)), -2)
+    m2_lb = take_along(xp, m2t, xp.broadcast_to(lb_b, (U, T, scap)), -2)
+    d_j = m1_le - m1_lb - dup
+    present = (m2_le - m2_lb) > 0
+    contrib = present & (jrow[None, None, :] + d_j < s_u[:, None, None]) \
+        & (jrow[None, None, :] < s_u[:, None, None])
+    s_t = contrib.sum(axis=-1).astype(xp.int32)                # (U, T)
 
     s_masked = xp.where(ev_valid, s_t, -1)
     best = s_masked.max(axis=-1)
