@@ -25,6 +25,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from fastani_tpu.utils import platform as _platform
+
+_platform.setup_cache()
+
 
 def build_workload(workdir: str, n_genomes: int, size: int):
     from tests import synth

@@ -76,15 +76,13 @@ def main(argv=None) -> int:
         print("Provide output file (-o)", file=sys.stderr)
         return 1
 
+    from fastani_tpu.utils import platform
+
+    platform.setup_cache()
     if args.backend != "jax":
         # the host backend still jits winnowing on CPU; don't require a TPU
         # runtime (the session's axon plugin only registers in some cwds)
-        try:
-            import jax
-
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
+        platform.force_cpu()
 
     params = Parameters(
         kmer_size=args.kmer,

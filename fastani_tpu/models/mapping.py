@@ -172,6 +172,21 @@ class L1Result:
     overflow: object  # (F,) bool — hits or candidates exceeded caps
 
 
+def _register_pytree(cls):
+    import jax.tree_util as jtu
+
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jtu.register_pytree_node(
+        cls,
+        lambda o: ([getattr(o, n) for n in fields], None),
+        lambda _, ch: cls(*ch),
+    )
+    return cls
+
+
+_register_pytree(L1Result)
+
+
 def l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos, min_hits_lut,
                   freq_threshold: int, frag_len: int, hits_cap: int, cand_cap: int):
     """Batched L1 stage.  qh (F, scap) sorted unique hashes (UMAX padded)."""
@@ -179,20 +194,35 @@ def l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos, min_hits_lut,
     M = occ_hash.shape[0]
     jj = xp.arange(scap, dtype=xp.int32)
     qvalid = jj < s[:, None]
-    lo = xp.searchsorted(occ_hash, qh, side="left").astype(xp.int32)
-    hi = xp.searchsorted(occ_hash, qh, side="right").astype(xp.int32)
+    if is_jax(xp):
+        # the sort-based lowering beats the default scan on TPU (~3x)
+        lo = xp.searchsorted(occ_hash, qh, side="left", method="sort").astype(xp.int32)
+        hi = xp.searchsorted(occ_hash, qh, side="right", method="sort").astype(xp.int32)
+    else:
+        lo = xp.searchsorted(occ_hash, qh, side="left").astype(xp.int32)
+        hi = xp.searchsorted(occ_hash, qh, side="right").astype(xp.int32)
     cnt = xp.where(qvalid, hi - lo, 0)
     cnt = xp.where(cnt < freq_threshold, cnt, 0)
     cum = xp.cumsum(cnt, axis=-1).astype(xp.int32)
     total = cum[:, -1]
     overflow = total > hits_cap
 
-    # scatter-free expansion of ragged hit lists into (F, hits_cap)
+    # ragged hit-list expansion into (F, hits_cap): source index per slot is
+    # slot + a per-bucket offset; bucket offsets materialize via one scatter
+    # of offset deltas at bucket starts + a cumsum (gather/search-free)
     hidx = xp.arange(hits_cap, dtype=xp.int32)
-    bucket = batched_searchsorted(xp, cum, hidx[None, :], side="right")  # (F, hits_cap)
-    bucket_c = xp.minimum(bucket, scap - 1)
-    prev_cum = xp.where(bucket > 0, take_along(xp, cum, xp.maximum(bucket - 1, 0), -1), 0)
-    src = take_along(xp, lo, bucket_c, -1) + (hidx[None, :] - prev_cum)
+    cum_prev = xp.concatenate([xp.zeros((F, 1), xp.int32), cum[:, :-1]], axis=-1)
+    d = lo - cum_prev
+    d_prev = xp.concatenate([xp.zeros((F, 1), xp.int32), d[:, :-1]], axis=-1)
+    inc = d - d_prev
+    pos = xp.minimum(cum_prev, hits_cap - 1)
+    if is_jax(xp):
+        arr = xp.zeros((F, hits_cap), xp.int32).at[
+            xp.arange(F, dtype=xp.int32)[:, None], pos].add(inc)
+    else:
+        arr = np.zeros((F, hits_cap), np.int32)
+        np.add.at(arr, (np.arange(F)[:, None], np.asarray(pos)), np.asarray(inc))
+    src = hidx[None, :] + xp.cumsum(arr, axis=-1)
     hvalid = hidx[None, :] < xp.minimum(total, hits_cap)[:, None]
     src = xp.clip(src, 0, max(M - 1, 0))
     hit_sid = xp.where(hvalid, occ_sid[src], _PINF)
@@ -269,6 +299,9 @@ class L2Result:
     overflow: object  # (U,) bool — entry range exceeded ncap
 
 
+_register_pytree(L2Result)
+
+
 def _searchsorted_pairs(xp, a_sid, a_wpos, q_sid, q_wpos):
     """lower_bound over global (seqId, wpos) pairs (winSketch.hpp:259-270)."""
     n = a_sid.shape[0]
@@ -340,8 +373,13 @@ def l2_map_units(xp, qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
     T = 2 * ncap + 1
 
     lp1 = lp[:, 1:]  # pos[i], i>=1 (sorted; padded +inf)
-    lb = batched_searchsorted(xp, lp1, v, side="right")  # local begin index
-    cnt_le = batched_searchsorted(xp, lp, v + C - 1, side="right")
+    if is_jax(xp):
+        # compare-count instead of binary-search gathers (TPU: VPU-friendly)
+        lb = (lp1[:, None, :] <= v[:, :, None]).sum(-1).astype(xp.int32)
+        cnt_le = (lp[:, None, :] <= (v + C - 1)[:, :, None]).sum(-1).astype(xp.int32)
+    else:
+        lb = batched_searchsorted(xp, lp1, v, side="right")  # local begin index
+        cnt_le = batched_searchsorted(xp, lp, v + C - 1, side="right")
     le = xp.maximum(e0_loc[:, None], cnt_le)             # local end index
     ev_valid = (v < _PINF // 2) & ((b0[:, None] + le) < eL[:, None]) & u_valid[:, None]
     # NB: le is clipped at ncap; windows truncated by ncap are covered by the
@@ -350,20 +388,29 @@ def l2_map_units(xp, qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
     # ---- static per-unit rank tables
     qh_u = qh[frag_of_unit]          # (U, scap)
     s_u = s[frag_of_unit]            # (U,)
-    # jr[i] = #{query hashes < hash_i}; exact-match rank via left search
-    jr = batched_searchsorted(xp, qh_u, lh, side="right")      # (U, ncap)
-    ql = batched_searchsorted(xp, qh_u, lh, side="left")
-    qlc = xp.clip(ql, 0, scap - 1)
-    inq = (ql < s_u[:, None]) & (take_along(xp, qh_u, qlc, -1) == lh) & in_contig
-    nonq = in_contig & ~inq
-
     jrow = xp.arange(scap, dtype=xp.int32)
-    # M1[j, x]: cumsum over entry positions of (nonQ & jr_i <= j)
-    below = nonq[:, None, :] & (jr[:, None, :] <= jrow[None, :, None])   # (U, scap, ncap)
+    if is_jax(xp):
+        # compare-broadcast ranks (no binary-search gathers)
+        jq = jrow[None, :, None]
+        le_cmp = (qh_u[:, :, None] <= lh[:, None, :])          # (U, scap, ncap)
+        jr = le_cmp.sum(-2).astype(xp.int32)                   # #{qh <= h}
+        eqm = (qh_u[:, :, None] == lh[:, None, :]) & (jq < s_u[:, None, None])
+        inq = eqm.any(-2) & in_contig
+        nonq = in_contig & ~inq
+        below = nonq[:, None, :] & (jr[:, None, :] <= jq)
+        match = eqm & in_contig[:, None, :]
+    else:
+        # jr[i] = #{query hashes <= hash_i}; exact-match via left search
+        jr = batched_searchsorted(xp, qh_u, lh, side="right")      # (U, ncap)
+        ql = batched_searchsorted(xp, qh_u, lh, side="left")
+        qlc = xp.clip(ql, 0, scap - 1)
+        inq = (ql < s_u[:, None]) & (take_along(xp, qh_u, qlc, -1) == lh) & in_contig
+        nonq = in_contig & ~inq
+        below = nonq[:, None, :] & (jr[:, None, :] <= jrow[None, :, None])
+        match = inq[:, None, :] & (ql[:, None, :] == jrow[None, :, None])
+    # M1[j, x] = #{entries i < x : nonQ, hash < q_j};  M2: occurrences of q_j
     m1 = xp.cumsum(below.astype(xp.int32), axis=-1)
     m1 = xp.concatenate([xp.zeros((U, scap, 1), xp.int32), m1], axis=-1)  # (U, scap, ncap+1)
-    # M2[j, x]: occurrences of q_j among entries < x
-    match = inq[:, None, :] & (ql[:, None, :] == jrow[None, :, None])
     m2 = xp.cumsum(match.astype(xp.int32), axis=-1)
     m2 = xp.concatenate([xp.zeros((U, scap, 1), xp.int32), m2], axis=-1)
 
@@ -390,28 +437,51 @@ def l2_map_units(xp, qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
     # pair activity per event: both ends inside [lb, le)
     act = pr_ok[:, None, :] & (pr_prev[:, None, :] >= lb[:, :, None]) \
         & (pr_this[:, None, :] < le[:, :, None])               # (U, T, pcap)
-    cact = xp.cumsum(act.astype(xp.int32), axis=-1)
-    cact = xp.concatenate([xp.zeros((U, T, 1), xp.int32), cact], axis=-1)
-    # dup_j = # active pairs with jr <= j  -> gather at searchsorted(pr_jr, j)
-    pj = batched_searchsorted(xp, pr_jr, jrow[None, :].astype(xp.int32),
-                              side="right")                    # (U, scap)
-    dup = take_along(xp, cact, xp.broadcast_to(pj[:, None, :], (U, T, scap)), -1)
 
-    # ---- per-event rank queries from the static tables
-    # D_j(t) = M1[j, le] - M1[j, lb] - dup_j(t); present_j(t) = M2 diff > 0
-    m1t = xp.swapaxes(m1, -1, -2)                              # (U, ncap+1, scap)
-    m2t = xp.swapaxes(m2, -1, -2)
-    le_b = xp.clip(le, 0, ncap)[:, :, None]
-    lb_b = xp.clip(lb, 0, ncap)[:, :, None]
-    m1_le = take_along(xp, m1t, xp.broadcast_to(le_b, (U, T, scap)), -2)
-    m1_lb = take_along(xp, m1t, xp.broadcast_to(lb_b, (U, T, scap)), -2)
-    m2_le = take_along(xp, m2t, xp.broadcast_to(le_b, (U, T, scap)), -2)
-    m2_lb = take_along(xp, m2t, xp.broadcast_to(lb_b, (U, T, scap)), -2)
-    d_j = m1_le - m1_lb - dup
-    present = (m2_le - m2_lb) > 0
-    contrib = present & (jrow[None, None, :] + d_j < s_u[:, None, None]) \
-        & (jrow[None, None, :] < s_u[:, None, None])
-    s_t = contrib.sum(axis=-1).astype(xp.int32)                # (U, T)
+    if is_jax(xp):
+        # ---- all per-event rank queries as one-hot matmuls (MXU path):
+        # W = onehot(le) - onehot(lb) over table columns; D = W @ M1 etc.
+        # Table values < 2^24, exact in f32.
+        col = xp.arange(ncap + 1, dtype=xp.int32)
+        w_le = (col[None, None, :] == xp.clip(le, 0, ncap)[:, :, None])
+        w_lb = (col[None, None, :] == xp.clip(lb, 0, ncap)[:, :, None])
+        wdiff = w_le.astype(xp.float32) - w_lb.astype(xp.float32)   # (U,T,ncap+1)
+        import jax as _jax
+
+        mm = lambda a, b: _jax.lax.dot_general(
+            a, b, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=xp.float32)
+        m1f = xp.swapaxes(m1, -1, -2).astype(xp.float32)        # (U,ncap+1,scap)
+        m2f = xp.swapaxes(m2, -1, -2).astype(xp.float32)
+        d_nodup = mm(wdiff, m1f)                                # (U,T,scap)
+        pres_cnt = mm(wdiff, m2f)
+        # dup_j = (# active pairs with pair_jr <= j) via act @ Z
+        z = (pr_jr[:, :, None] <= jrow[None, None, :]).astype(xp.float32)
+        dup = mm(act.astype(xp.float32), z)                     # (U,T,scap)
+        d_j = d_nodup - dup
+        present = pres_cnt > 0.5
+        contrib = present & (jrow[None, None, :] + d_j < s_u[:, None, None].astype(xp.float32)) \
+            & (jrow[None, None, :] < s_u[:, None, None])
+        s_t = contrib.sum(axis=-1).astype(xp.int32)             # (U, T)
+    else:
+        cact = xp.cumsum(act.astype(xp.int32), axis=-1)
+        cact = xp.concatenate([xp.zeros((U, T, 1), xp.int32), cact], axis=-1)
+        pj = batched_searchsorted(xp, pr_jr, jrow[None, :].astype(xp.int32),
+                                  side="right")                 # (U, scap)
+        dup = take_along(xp, cact, xp.broadcast_to(pj[:, None, :], (U, T, scap)), -1)
+        m1t = xp.swapaxes(m1, -1, -2)                           # (U, ncap+1, scap)
+        m2t = xp.swapaxes(m2, -1, -2)
+        le_b = xp.clip(le, 0, ncap)[:, :, None]
+        lb_b = xp.clip(lb, 0, ncap)[:, :, None]
+        m1_le = take_along(xp, m1t, xp.broadcast_to(le_b, (U, T, scap)), -2)
+        m1_lb = take_along(xp, m1t, xp.broadcast_to(lb_b, (U, T, scap)), -2)
+        m2_le = take_along(xp, m2t, xp.broadcast_to(le_b, (U, T, scap)), -2)
+        m2_lb = take_along(xp, m2t, xp.broadcast_to(lb_b, (U, T, scap)), -2)
+        d_j = m1_le - m1_lb - dup
+        present = (m2_le - m2_lb) > 0
+        contrib = present & (jrow[None, None, :] + d_j < s_u[:, None, None]) \
+            & (jrow[None, None, :] < s_u[:, None, None])
+        s_t = contrib.sum(axis=-1).astype(xp.int32)             # (U, T)
 
     s_masked = xp.where(ev_valid, s_t, -1)
     best = s_masked.max(axis=-1)

@@ -26,6 +26,7 @@ sliding-window-sum construction (Zhang et al., arXiv:1811.10074).
 from __future__ import annotations
 
 from collections import deque
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -151,6 +152,92 @@ def winnow_dense(seq_u8, k: int, w: int, true_len):
     return emit, out_h, out_w
 
 
+def winnow_chunk_kernel(seq_u8, base, carry_sel, carry_has, true_len, k: int, w: int):
+    """Fixed-shape winnowing of one chunk with exact cross-chunk carry.
+
+    seq_u8: (halo + CH + k - 1,) bytes where halo = w-1; covers global
+    positions [base - halo, base + CH + k - 1).  Emits minimizers for the CH
+    global positions [base, base + CH).
+
+    carry_sel / carry_has: the previous chunk's last-event selected position
+    (global) — the emit-on-change rule crosses chunk boundaries through it.
+    true_len: total sequence length (masks the tail).
+    Returns (emit (CH,), hash (CH,), wpos (CH,), new_carry_sel, new_carry_has).
+    """
+    halo = w - 1
+    n = seq_u8.shape[0] - k + 1          # local kmer positions
+    hf = hashing.kmer_hashes_jax(seq_u8, k)
+    hb = hashing.kmer_hashes_jax(hashing.revcomp_jax(seq_u8), k)[::-1]
+    lidx = jnp.arange(n, dtype=jnp.int32)
+    gidx = lidx + (base - halo)          # global positions
+    valid = (hf != hb) & (gidx >= 0) & (gidx <= true_len - k)
+    h = jnp.minimum(hf, hb)
+    key_h = jnp.where(valid, h, _UMAX)
+    key_p = jnp.where(valid, gidx, -1)
+    win_h, win_p = _sliding_argmin(key_h, key_p, w)
+
+    # only the CH main rows (local index >= halo) are events: halo rows have
+    # truncated windows (their win_p is wrong) and are covered by the carry
+    event = valid & (gidx >= w - 1) & (lidx >= halo)
+    ev_idx = jnp.where(event, lidx, -1)
+    last_ev = jax.lax.cummax(ev_idx)
+    prev_ev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), last_ev[:-1]])
+    prev_sel_in = jnp.where(prev_ev >= 0, win_p[jnp.maximum(prev_ev, 0)], -2)
+    # seed rows with no in-chunk predecessor from the carry
+    prev_sel = jnp.where(prev_ev >= 0, prev_sel_in,
+                         jnp.where(carry_has, carry_sel, -2))
+    emit = event & (win_p != prev_sel)
+
+    main = lidx >= halo
+    out_emit = (emit & main)[halo:]
+    out_h = win_h[halo:]
+    out_w = (gidx - (w - 1))[halo:]
+
+    # carry out: last event in this chunk's main region (if any)
+    ev_main = jnp.where(event & main, lidx, -1)
+    last_main = ev_main.max()
+    new_has = last_main >= 0
+    new_sel = jnp.where(new_has, win_p[jnp.maximum(last_main, 0)],
+                        jnp.where(carry_has, carry_sel, -2))
+    new_has = new_has | carry_has
+    return out_emit, out_h, out_w, new_sel, new_has
+
+
+_CHUNK = 1 << 20
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def _winnow_chunk_jit(seq, base, carry_sel, carry_has, true_len, k, w):
+    return winnow_chunk_kernel(seq, base, carry_sel, carry_has, true_len, k, w)
+
+
+def winnow_sequence_chunked(seq: np.ndarray, k: int, w: int,
+                            chunk: int = _CHUNK):
+    """Host driver: fixed-shape chunked winnowing (one compile per (k,w))."""
+    seq = hashing.upper_np(np.asarray(seq, dtype=np.uint8))
+    L = len(seq)
+    if L - k + 1 <= 0 or L < w:
+        return np.array([], np.uint32), np.array([], np.int32)
+    halo = w - 1
+    width = halo + chunk + k - 1
+    carry_sel, carry_has = np.int32(-2), False
+    outs_h, outs_w = [], []
+    for base in range(0, L, chunk):
+        buf = np.zeros(width, np.uint8)
+        lo = base - halo
+        src_lo = max(lo, 0)
+        src_hi = min(base + chunk + k - 1, L)
+        buf[src_lo - lo : src_hi - lo] = seq[src_lo:src_hi]
+        emit, h, wp, carry_sel, carry_has = _winnow_chunk_jit(
+            jnp.asarray(buf), base, carry_sel, carry_has, L, k, w)
+        emit = np.asarray(emit)
+        outs_h.append(np.asarray(h)[emit])
+        outs_w.append(np.asarray(wp)[emit])
+        carry_sel = int(carry_sel)
+        carry_has = bool(carry_has)
+    return np.concatenate(outs_h), np.concatenate(outs_w)
+
+
 def _bucket_len(L: int) -> int:
     """Pad lengths into coarse buckets so jit compiles once per bucket, not
     once per contig length."""
@@ -166,20 +253,23 @@ def _bucket_len(L: int) -> int:
 
 def winnow_sequence_np(seq: np.ndarray, k: int, w: int):
     """Host path: vectorized winnowing of one contig via the JAX kernel,
-    compacted to (hash, wpos) numpy arrays."""
+    compacted to (hash, wpos) numpy arrays.
+
+    Short contigs use a size-bucketed single-shot kernel; long ones the
+    fixed-shape chunked kernel (one compile per (k, w) regardless of
+    genome sizes)."""
     seq = hashing.upper_np(np.asarray(seq, dtype=np.uint8))
     L = len(seq)
     if L - k + 1 <= 0 or L < w:
         return np.array([], np.uint32), np.array([], np.int32)
+    if L > 65536:
+        return winnow_sequence_chunked(seq, k, w)
     Lp = _bucket_len(L)
     padded = np.zeros(Lp, dtype=np.uint8)
     padded[:L] = seq
     emit, h, wpos = _winnow_jit(jnp.asarray(padded), k, w, L)
     emit = np.asarray(emit)
     return np.asarray(h)[emit], np.asarray(wpos)[emit]
-
-
-from functools import partial
 
 
 @partial(jax.jit, static_argnums=(1, 2))
