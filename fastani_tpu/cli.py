@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", "--version", action="store_true", help="show version")
     p.add_argument("--backend", choices=["numpy", "jax"], default="numpy",
                    help="compute backend (jax = TPU path)")
+    p.add_argument("--saveIndex", dest="saveIndex", default="",
+                   help="persist the built reference index to this .npz")
+    p.add_argument("--loadIndex", dest="loadIndex", default="",
+                   help="restore a persisted reference index instead of "
+                        "sketching (reference file list comes from the index)")
     return p
 
 
@@ -66,7 +71,7 @@ def main(argv=None) -> int:
     if args.version:
         print(f"fastani_tpu {__version__}")
         return 0
-    if not args.ref and not args.refList:
+    if not args.ref and not args.refList and not args.loadIndex:
         print("Provide reference file(s)", file=sys.stderr)
         return 1
     if not args.query and not args.queryList:
@@ -94,7 +99,11 @@ def main(argv=None) -> int:
         sanity_check=args.sanityCheck,
         threads=args.threads,
         out_file_name=args.output,
-        ref_sequences=[args.ref] if args.ref else parse_file_list(args.refList),
+        save_index=args.saveIndex,
+        load_index=args.loadIndex,
+        ref_sequences=([args.ref] if args.ref
+                       else parse_file_list(args.refList) if args.refList
+                       else []),
         query_sequences=[args.query] if args.query else parse_file_list(args.queryList),
     )
     from fastani_tpu.models import pipeline

@@ -47,6 +47,11 @@ class Parameters:
     # TSV/matrix output is shard-count invariant by construction).
     threads: int = 1
 
+    # ---- index persistence (no reference equivalent: the reference
+    # recomputes the sketch every run; see winSketch.hpp:109-115) ----
+    save_index: str = ""                 # write the built index here (.npz)
+    load_index: str = ""                 # skip the build, restore from here
+
     # ---- TPU engine capacities (padding caps for ragged data; overflow falls
     # back to the exact host model, never silently truncates) ----
     frag_batch: int = 2048               # fragments mapped per device batch

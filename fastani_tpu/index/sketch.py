@@ -152,6 +152,59 @@ class ReferenceIndex:
                 break
         return threshold
 
+    # -- persistence ---------------------------------------------------------
+    #
+    # The reference recomputes the sketch every run (no checkpointing
+    # anywhere in winSketch.hpp); for 90K-genome databases that dominates
+    # wall-clock.  We persist the finished index as a single .npz so
+    # sketch-once / map-many workflows skip the build entirely.
+
+    _SAVE_VERSION = 1
+
+    def save(self, path: str) -> None:
+        """Persist the index (arrays + metadata) to ``path`` (.npz)."""
+        names = np.array([c.name for c in self.metadata])
+        lengths = np.array([c.length for c in self.metadata], np.int64)
+        np.savez_compressed(
+            path,
+            version=np.int64(self._SAVE_VERSION),
+            kmer_size=np.int64(self.params.kmer_size),
+            window_size=np.int64(self.params.window_size),
+            frag_len=np.int64(self.params.frag_len),
+            contig_names=names, contig_lengths=lengths,
+            sequences_by_file=self.sequences_by_file,
+            ref_files=np.array(list(self.params.ref_sequences)),
+            mi_hash=self.mi_hash, mi_seqid=self.mi_seqid, mi_wpos=self.mi_wpos,
+            seq_start=self.seq_start,
+            freq_threshold=np.int64(self.freq_threshold),
+        )
+
+    @classmethod
+    def load(cls, path: str, params: Parameters) -> "ReferenceIndex":
+        """Restore a persisted index; validates sketch-defining parameters."""
+        with np.load(path, allow_pickle=False) as z:
+            if int(z["version"]) != cls._SAVE_VERSION:
+                raise ValueError(f"unsupported index version {int(z['version'])}")
+            for field, key in (("kmer_size", "kmer_size"),
+                               ("window_size", "window_size"),
+                               ("frag_len", "frag_len")):
+                have, want = int(z[key]), int(getattr(params, field))
+                if have != want:
+                    raise ValueError(
+                        f"index was built with {field}={have}, run requests {want}")
+            metadata = [ContigInfo(str(n), int(l))
+                        for n, l in zip(z["contig_names"], z["contig_lengths"])]
+            params.ref_sequences = [str(p) for p in z["ref_files"]]
+            mi_hash = z["mi_hash"]
+            order = np.argsort(mi_hash, kind="stable")
+            return cls(params=params, metadata=metadata,
+                       sequences_by_file=z["sequences_by_file"],
+                       mi_hash=mi_hash, mi_seqid=z["mi_seqid"], mi_wpos=z["mi_wpos"],
+                       occ_hash=mi_hash[order], occ_seqid=z["mi_seqid"][order],
+                       occ_wpos=z["mi_wpos"][order],
+                       seq_start=z["seq_start"],
+                       freq_threshold=int(z["freq_threshold"]))
+
     # -- queries ------------------------------------------------------------
 
     def genome_of_seq(self) -> np.ndarray:

@@ -97,10 +97,19 @@ def run(params: Parameters, backend: str = "numpy",
     params.finalize()
     out_path = params.out_file_name
     t0 = time.time()
-    index = ReferenceIndex.build(params)
-    log(f"INFO, fastani_tpu, reference sketched in {time.time()-t0:.2f}s: "
-        f"{index.num_entries} minimizers, {index.num_unique_hashes} unique "
-        f"(window size {params.window_size})")
+    if params.load_index:
+        index = ReferenceIndex.load(params.load_index, params)
+        log(f"INFO, fastani_tpu, reference index restored from "
+            f"{params.load_index} in {time.time()-t0:.2f}s: "
+            f"{index.num_entries} minimizers")
+    else:
+        index = ReferenceIndex.build(params)
+        log(f"INFO, fastani_tpu, reference sketched in {time.time()-t0:.2f}s: "
+            f"{index.num_entries} minimizers, {index.num_unique_hashes} unique "
+            f"(window size {params.window_size})")
+    if params.save_index:
+        index.save(params.save_index)
+        log(f"INFO, fastani_tpu, reference index saved to {params.save_index}")
 
     sane = True
     if params.sanity_check:
