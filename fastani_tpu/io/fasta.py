@@ -4,8 +4,14 @@ Replaces the reference's kseq parser (reference: src/common/kseq.h, used at
 winSketch.hpp:141-147 and computeMap.hpp:122-132) with the same record
 semantics: records begin at '>' (FASTA) or '@' (FASTQ), the name is the text
 up to the first whitespace, the sequence is the concatenation of sequence
-lines, FASTQ quality lines are skipped.  A C++ reader can replace this for
-throughput later; parsing is not the bottleneck at current scale.
+lines, FASTQ quality lines are skipped.
+
+Two implementations with identical record semantics:
+* the native C++ reader (fastani_tpu/native/io_reader.cpp, zlib-backed,
+  dense buffer+offsets output) — used when its .so builds/loads;
+* this module's pure-Python parser — the always-available fallback and
+  the parity oracle for the native one (tests/test_native_io.py).
+Set FASTANI_TPU_NO_NATIVE=1 to force the Python path.
 """
 
 from __future__ import annotations
@@ -27,7 +33,44 @@ def _open_bytes(path: str) -> bytes:
 
 
 def read_sequences(path: str) -> Iterator[Tuple[str, np.ndarray]]:
-    """Yield (name, sequence bytes as uint8 array) per record, in file order."""
+    """Yield (name, sequence bytes as uint8 array) per record, in file order.
+
+    Dispatches to the native C++ reader when available; falls back to the
+    pure-Python parser below.
+    """
+    from fastani_tpu import native
+
+    lib = native.load_io_lib()
+    if lib is not None:
+        yield from _read_sequences_native(lib, path)
+        return
+    yield from read_sequences_py(path)
+
+
+def _read_sequences_native(lib, path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    import ctypes
+
+    h = lib.fai_read_file(path.encode())
+    try:
+        err = lib.fai_error(h)
+        if err is not None:
+            raise OSError(f"{path}: {err.decode()}")
+        n = lib.fai_num_records(h)
+        total = lib.fai_total_len(h)
+        seq = np.empty(total, np.uint8)
+        offsets = np.empty(n + 1, np.int64)
+        if total:
+            lib.fai_copy_seq(h, seq.ctypes.data_as(ctypes.c_void_p))
+        lib.fai_copy_offsets(h, offsets.ctypes.data_as(ctypes.c_void_p))
+        names = [lib.fai_name(h, i).decode("ascii", "replace") for i in range(n)]
+    finally:
+        lib.fai_free(h)
+    for i, name in enumerate(names):
+        yield name, seq[offsets[i]:offsets[i + 1]]
+
+
+def read_sequences_py(path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    """Pure-Python parser (fallback + oracle for the native reader)."""
     data = _open_bytes(path)
     n = len(data)
     i = 0
