@@ -29,7 +29,9 @@ from typing import Optional
 import numpy as np
 
 from fastani_tpu.ops import hashing
-from fastani_tpu.ops.xputils import batched_searchsorted, cummax, is_jax, pairmin_scan, take_along
+from fastani_tpu.ops.xputils import (batched_searchsorted, cummax, is_jax,
+                                     last_event_value, sliding_pairmin,
+                                     take_along)
 
 _UMAX = np.uint32(0xFFFFFFFF)
 _PINF = np.int32(2**30)  # position infinity (room for +C arithmetic)
@@ -77,29 +79,9 @@ def revcomp(xp, seqs_u8):
 
 def _sliding_argmin(xp, key_h, key_p, w: int):
     """win[i] = lexicographic min of (hash asc, pos desc) over
-    [max(0, i-w+1), i], along the last axis (blocked two-stacks scheme)."""
-    n = key_h.shape[-1]
-    lead = key_h.shape[:-1]
-    nb = -(-n // w)
-    pad = nb * w - n
-    if pad:
-        key_h = xp.concatenate([key_h, xp.full(lead + (pad,), _UMAX, xp.uint32)], axis=-1)
-        key_p = xp.concatenate([key_p, xp.full(lead + (pad,), -1, xp.int32)], axis=-1)
-    bh = key_h.reshape(lead + (nb, w))
-    bp = key_p.reshape(lead + (nb, w))
-    pre_h, pre_p = pairmin_scan(xp, bh, bp)
-    suf_h, suf_p = pairmin_scan(xp, bh, bp, reverse=True)
-    pre_h = pre_h.reshape(lead + (nb * w,))[..., :n]
-    pre_p = pre_p.reshape(lead + (nb * w,))[..., :n]
-    suf_h = suf_h.reshape(lead + (nb * w,))
-    suf_p = suf_p.reshape(lead + (nb * w,))
-    idx = xp.arange(n, dtype=xp.int32)
-    start = xp.maximum(idx - (w - 1), 0)
-    start_b = xp.broadcast_to(start, lead + (n,))
-    sh = take_along(xp, suf_h, start_b, -1)
-    sp = take_along(xp, suf_p, start_b, -1)
-    take = (sh < pre_h) | ((sh == pre_h) & (sp > pre_p))
-    return xp.where(take, sh, pre_h), xp.where(take, sp, pre_p)
+    [max(0, i-w+1), i], along the last axis (sparse-table doubling —
+    scan- and gather-free; see xputils.sliding_pairmin)."""
+    return sliding_pairmin(xp, key_h, key_p, w)
 
 
 def winnow_batched(xp, seqs_u8, k: int, w: int, true_lens):
@@ -119,14 +101,11 @@ def winnow_batched(xp, seqs_u8, k: int, w: int, true_lens):
     key_p = xp.where(valid, xp.broadcast_to(idx, lead + (n,)), -1).astype(xp.int32)
     win_h, win_p = _sliding_argmin(xp, key_h, key_p, w)
     event = valid & (idx >= w - 1)
-    ev_idx = xp.where(event, idx, -1).astype(xp.int32)
-    last_ev = cummax(xp, ev_idx, axis=-1)
-    prev_ev = xp.concatenate([xp.full(lead + (1,), -1, xp.int32), last_ev[..., :-1]], axis=-1)
-    prev_sel = xp.where(
-        prev_ev >= 0,
-        take_along(xp, win_p, xp.maximum(prev_ev, 0), -1),
-        -2,
-    )
+    # emit-on-change vs the previous event's selected position
+    # (commonFunc.hpp:152-161), via shift-based last-event propagation
+    last_sel, _ = last_event_value(xp, event, win_p, xp.int32(-2))
+    prev_sel = xp.concatenate(
+        [xp.full(lead + (1,), -2, xp.int32), last_sel[..., :-1]], axis=-1)
     emit = event & (win_p != prev_sel)
     return emit, win_h, idx - (w - 1)
 

@@ -82,40 +82,13 @@ def winnow_model(seq: np.ndarray, k: int, w: int, seq_id: int = 0):
 # Vectorized JAX kernel
 # ---------------------------------------------------------------------------
 
-def _pair_min(a, b):
-    """Lexicographic min over (hash asc, pos desc) pairs."""
-    ah, ap = a
-    bh, bp = b
-    take_a = (ah < bh) | ((ah == bh) & (ap > bp))
-    return jnp.where(take_a, ah, bh), jnp.where(take_a, ap, bp)
-
-
 def _sliding_argmin(key_h, key_p, w: int):
-    """win[i] = pair-min over positions [max(0, i-w+1), i].
+    """win[i] = lexicographic (hash asc, pos desc) min over
+    [max(0, i-w+1), i].  Sparse-table doubling — static shifts only, no
+    scans or gathers (those compile 50-100x slower on XLA:TPU)."""
+    from fastani_tpu.ops.xputils import sliding_pairmin
 
-    Blocked prefix/suffix scheme with block size w; O(n) work.
-    key_h/key_p are 1-D arrays of equal length n (already masked).
-    """
-    n = key_h.shape[0]
-    nb = -(-n // w)
-    pad = nb * w - n
-    ph = jnp.pad(key_h, (0, pad), constant_values=_UMAX)
-    pp = jnp.pad(key_p, (0, pad), constant_values=-1)
-    bh = ph.reshape(nb, w)
-    bp = pp.reshape(nb, w)
-    # prefix pair-min within block (inclusive)
-    pre_h, pre_p = jax.lax.associative_scan(_pair_min, (bh, bp), axis=1)
-    # suffix pair-min within block (inclusive)
-    suf_h, suf_p = jax.lax.associative_scan(_pair_min, (bh[:, ::-1], bp[:, ::-1]), axis=1)
-    suf_h, suf_p = suf_h[:, ::-1], suf_p[:, ::-1]
-    pre_h, pre_p = pre_h.reshape(-1)[:n], pre_p.reshape(-1)[:n]
-    suf_h, suf_p = suf_h.reshape(-1), suf_p.reshape(-1)
-    # window start index (clamped)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    start = jnp.maximum(idx - (w - 1), 0)
-    sh = suf_h[start]
-    sp = suf_p[start]
-    return _pair_min((sh, sp), (pre_h, pre_p))
+    return sliding_pairmin(jnp, key_h, key_p, w)
 
 
 def winnow_dense(seq_u8, k: int, w: int, true_len):
@@ -141,11 +114,12 @@ def winnow_dense(seq_u8, k: int, w: int, true_len):
     win_h, win_p = _sliding_argmin(key_h, key_p, w)
 
     event = valid & (idx >= w - 1)
-    # previous event index (exclusive) via cumulative max of event positions
-    ev_idx = jnp.where(event, idx, -1)
-    last_ev = jax.lax.cummax(ev_idx)
-    prev_ev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), last_ev[:-1]])
-    prev_sel = jnp.where(prev_ev >= 0, win_p[jnp.maximum(prev_ev, 0)], -2)
+    # emit-on-change vs the previous event's selection, via shift-based
+    # last-event propagation (no scans/gathers)
+    from fastani_tpu.ops.xputils import last_event_value
+
+    last_sel, _ = last_event_value(jnp, event, win_p, jnp.int32(-2))
+    prev_sel = jnp.concatenate([jnp.full((1,), -2, jnp.int32), last_sel[:-1]])
     emit = event & (win_p != prev_sel)
     out_h = win_h
     out_w = idx - (w - 1)
@@ -179,27 +153,21 @@ def winnow_chunk_kernel(seq_u8, base, carry_sel, carry_has, true_len, k: int, w:
     # only the CH main rows (local index >= halo) are events: halo rows have
     # truncated windows (their win_p is wrong) and are covered by the carry
     event = valid & (gidx >= w - 1) & (lidx >= halo)
-    ev_idx = jnp.where(event, lidx, -1)
-    last_ev = jax.lax.cummax(ev_idx)
-    prev_ev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), last_ev[:-1]])
-    prev_sel_in = jnp.where(prev_ev >= 0, win_p[jnp.maximum(prev_ev, 0)], -2)
-    # seed rows with no in-chunk predecessor from the carry
-    prev_sel = jnp.where(prev_ev >= 0, prev_sel_in,
-                         jnp.where(carry_has, carry_sel, -2))
+    from fastani_tpu.ops.xputils import last_event_value
+
+    # rows with no in-chunk predecessor seed from the carry
+    seed = jnp.where(carry_has, carry_sel, -2).astype(jnp.int32)
+    last_sel, _ = last_event_value(jnp, event, win_p, seed)
+    prev_sel = jnp.concatenate([seed.reshape(1), last_sel[:-1]])
     emit = event & (win_p != prev_sel)
 
-    main = lidx >= halo
-    out_emit = (emit & main)[halo:]
+    out_emit = emit[halo:]
     out_h = win_h[halo:]
     out_w = (gidx - (w - 1))[halo:]
 
-    # carry out: last event in this chunk's main region (if any)
-    ev_main = jnp.where(event & main, lidx, -1)
-    last_main = ev_main.max()
-    new_has = last_main >= 0
-    new_sel = jnp.where(new_has, win_p[jnp.maximum(last_main, 0)],
-                        jnp.where(carry_has, carry_sel, -2))
-    new_has = new_has | carry_has
+    # carry out: selection at the last event seen so far (seed if none)
+    new_sel = last_sel[-1]
+    new_has = event.any() | carry_has
     return out_emit, out_h, out_w, new_sel, new_has
 
 

@@ -81,6 +81,67 @@ def pairmin_scan(xp, h, p, reverse: bool = False):
     return h, p
 
 
+_UMAX_ = np.uint32(0xFFFFFFFF)
+
+
+def _shift_right_pair(xp, h, p, s: int, fill_h, fill_p):
+    """(h,p) shifted right by s along the last axis, identity-filled."""
+    if s == 0:
+        return h, p
+    lead = h.shape[:-1]
+    fh = xp.full(lead + (s,), fill_h, h.dtype)
+    fp = xp.full(lead + (s,), fill_p, p.dtype)
+    return (xp.concatenate([fh, h[..., :-s]], axis=-1),
+            xp.concatenate([fp, p[..., :-s]], axis=-1))
+
+
+def sliding_pairmin(xp, key_h, key_p, w: int):
+    """win[i] = lexicographic min of (hash asc, pos desc) over
+    [max(0, i-w+1), i] along the last axis.
+
+    Sparse-table doubling: build power-of-two span minima with static
+    shifts, then combine two overlapping spans for the final window.  All
+    ops are elementwise + static pad/slice — no scans, no gathers — which
+    keeps XLA:TPU compile time flat (lax scans/gathers on big arrays
+    compile 50-100x slower than this form; measured on v5e).
+    """
+    def pmin(ah, ap, bh, bp):
+        take = (bh < ah) | ((bh == ah) & (bp > ap))
+        return xp.where(take, bh, ah), xp.where(take, bp, ap)
+
+    h, p = key_h, key_p
+    span = 1
+    while span * 2 <= w:
+        sh, sp = _shift_right_pair(xp, h, p, span, _UMAX_, -1)
+        h, p = pmin(h, p, sh, sp)
+        span *= 2
+    if span < w:
+        sh, sp = _shift_right_pair(xp, h, p, w - span, _UMAX_, -1)
+        h, p = pmin(h, p, sh, sp)
+    return h, p
+
+
+def last_event_value(xp, event, val, seed):
+    """out[i] = val[j] for the largest j <= i with event[j]; seed if none.
+
+    Hillis-Steele doubling along the last axis (log2(n) static shifts);
+    seed may be a traced scalar.
+    """
+    n = event.shape[-1]
+    lead = event.shape[:-1]
+    has = event
+    v = xp.where(event, val, seed)
+    d = 1
+    while d < n:
+        fh = xp.zeros(lead + (d,), dtype=has.dtype if hasattr(has, "dtype") else bool)
+        sh_has = xp.concatenate([fh.astype(bool), has[..., :-d]], axis=-1)
+        sv = xp.concatenate([xp.broadcast_to(xp.asarray(seed), lead + (d,)).astype(v.dtype), v[..., :-d]], axis=-1)
+        v = xp.where(has, v, xp.where(sh_has, sv, v))
+        has = has | sh_has
+        d *= 2
+    return v, has
+
+
 def sort_rows(xp, keys, values=(), num_keys=None):
     """Sort each row by lexicographic (keys[0] primary).
 
