@@ -59,6 +59,10 @@ def run_reference(workdir: str, lst: str, threads: int) -> float:
     return time.time() - t0
 
 
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def run_ours(paths, params, frag_batch: int) -> tuple:
     """TPU path: resident index, streaming jitted fragment batches."""
     import jax.numpy as jnp
@@ -70,8 +74,13 @@ def run_ours(paths, params, frag_batch: int) -> tuple:
     params.ref_sequences = list(paths)
     params.query_sequences = list(paths)
     t_index0 = time.time()
-    index = ReferenceIndex.build(params)
-    mapper = jitmap.JitMapper(params, index, unit_factor=2, unit_chunk=32)
+    index = ReferenceIndex.build_device(params)
+    _log(f"index built (device-resident): {index.num_entries} entries "
+         f"({time.time()-t_index0:.1f}s)")
+    # in all-vs-all every fragment can hit every genome: size the unit list
+    # to the genome count so nothing truncates to the host fallback
+    mapper = jitmap.JitMapper(params, index,
+                              unit_factor=len(paths) + 2, unit_chunk=128)
     t_index = time.time() - t_index0
 
     genome_of_seq = index.genome_of_seq()
@@ -82,26 +91,16 @@ def run_ours(paths, params, frag_batch: int) -> tuple:
     warm = np.zeros((params.frag_batch, params.frag_len), np.uint8)
     warm[: min(len(queries[0].frags), params.frag_batch)] = \
         queries[0].frags[: params.frag_batch]
+    t0 = time.time()
     mapper(warm)
+    _log(f"map step compiled+warm ({time.time()-t0:.1f}s)")
 
     t0 = time.time()
     rows = []
-    from fastani_tpu.models import glue
-    from fastani_tpu.utils import refmodel
-
-    for qno, qf in enumerate(queries):
-        mappings = []
-        F = len(qf.frags)
-        for b0 in range(0, F, params.frag_batch):
-            out = mapper(qf.frags[b0 : b0 + params.frag_batch])
-            ident, upper = stats.identities_for(out["shared"], out["sketch"],
-                                                params.kmer_size)
-            for i in np.nonzero(out["valid"])[0]:
-                mappings.append(refmodel.Mapping(
-                    int(qf.frag_ids[b0 + out["frag"][i]]), int(out["sid"][i]),
-                    int(out["mean_pos"][i]), ident[i], upper[i],
-                    int(out["shared"][i]), int(out["sketch"][i]),
-                    params.frag_len))
+    maps_per_q = pipeline.map_queries_batched(queries, index, params, mapper)
+    _log(f"mapped {sum(len(q.frags) for q in queries)} fragments from "
+         f"{len(queries)} queries in {time.time()-t0:.1f}s")
+    for qno, (qf, mappings) in enumerate(zip(queries, maps_per_q)):
         r, _ = ani.compute_cgi(mappings, genome_of_seq, params.frag_len, qno,
                                qf.total_fragments)
         rows.extend(r)
@@ -124,7 +123,10 @@ def main():
     baseline_t = None
     if not args.skip_baseline:
         try:
+            t0 = time.time()
             baseline_t = run_reference(workdir, lst, threads=os.cpu_count() or 2)
+            _log(f"reference baseline: {baseline_t:.1f}s "
+                 f"(incl. build {time.time()-t0-baseline_t:.1f}s)")
         except Exception as e:
             print(f"baseline failed: {e}", file=sys.stderr)
 

@@ -53,12 +53,15 @@ class Parameters:
     load_index: str = ""                 # skip the build, restore from here
 
     # ---- TPU engine capacities (padding caps for ragged data; overflow falls
-    # back to the exact host model, never silently truncates) ----
+    # back to the exact host model, never silently truncates).  sketch_cap
+    # and l2_entry_cap default to None = auto-sized from (frag_len, window)
+    # in finalize(): minimizer density is ~2/(w+1), so data-driven caps cut
+    # the L2 rank-table FLOPs ~4x vs the old fixed 512/768. ----
     frag_batch: int = 2048               # fragments mapped per device batch
-    sketch_cap: int = 512                # max unique minimizers per fragment
+    sketch_cap: Optional[int] = None     # max unique minimizers per fragment
     hits_cap: int = 4096                 # max L1 seed hits per fragment
     cand_cap: int = 64                   # max L1 candidate regions per fragment
-    l2_entry_cap: int = 768              # max ref index entries per L2 work unit
+    l2_entry_cap: Optional[int] = None   # max ref index entries per L2 work unit
 
     def resolved_window_size(self) -> int:
         if self.window_size is not None:
@@ -78,4 +81,15 @@ class Parameters:
         """Fill in derived fields; returns self for chaining."""
         if self.window_size is None:
             self.window_size = self.resolved_window_size()
+        w = self.window_size
+
+        def _round128(x: int) -> int:
+            return max(128, -(-x // 128) * 128)
+
+        if self.sketch_cap is None:
+            # expected unique minimizers per fragment ~ 2L/(w+1); 1.6x margin
+            self.sketch_cap = _round128(int(3.2 * self.frag_len / (w + 1)))
+        if self.l2_entry_cap is None:
+            # ref entries per L2 unit span (<= 2 fragment lengths of index)
+            self.l2_entry_cap = _round128(int(6.4 * self.frag_len / (w + 1)))
         return self

@@ -1,0 +1,254 @@
+"""Device-resident reference index build.
+
+The host build (ReferenceIndex.build) winnows on the host backend and keeps
+numpy arrays; fine for tests and small runs.  For TPU runs behind the
+session tunnel the device->host link is ~1 MB/s and every *distinct* XLA
+program pays a remote compile that can take minutes, so the real build is
+structured as a few small, shape-stable programs that keep everything in
+HBM:
+
+    A. winnow chunk (dense, elementwise only)          — per 1 Mbp chunk
+    B. 2-D row compaction (per-row stable argsort)     — fused with A
+    C. global assembly: exclusive-cumsum + scatter of all row pieces
+       into pow-2-padded (hash, seqid, wpos) arrays
+    D. stable sort by hash => occurrence (lookup) order
+
+Host<->device traffic: sequences go up (fast direction); ONE scalar counts
+vector comes back per build.  The produced index holds padded device
+arrays (pads: hash=UMAX, sid/wpos=2^30) with the true entry count in
+``num_entries`` — exactly the layout the jitted mapper wants.
+
+Bit-identical to the host build (same kernels, integer math);
+tests/test_device_build.py asserts equality on the CPU platform.
+
+Reference parity: replaces skch::Sketch::build+index
+(winSketch.hpp:124-193); the hash-stable sort reproduces index()'s
+per-hash occurrence order exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from fastani_tpu.config import Parameters
+from fastani_tpu.io import fasta
+from fastani_tpu.ops import hashing, minimizer
+
+_CHUNK = 1 << 20
+_ROW = 1 << 10            # compaction row length
+_CAP_R = _ROW // 4        # per-row minimizer cap (avg density ~2/(w+1)≈0.08)
+_UMAX = np.uint32(0xFFFFFFFF)
+_PINF = np.int32(2**30)
+
+
+@functools.lru_cache(maxsize=None)
+def _chunk_jit(k: int, w: int, chunk: int):
+    """Programs A+B: dense winnow + per-row compaction.
+
+    Returns (h_rows (R, CAP_R), wp_rows (R, CAP_R), row_cnt (R,),
+    overflow scalar, carry_sel, carry_has) — all device-resident.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    R = chunk // _ROW
+
+    def f(seq, base, carry_sel, carry_has, true_len):
+        emit, h, wp, ns, nh = minimizer.winnow_chunk_kernel(
+            seq, base, carry_sel, carry_has, true_len, k, w)
+        e2 = emit.reshape(R, _ROW)
+        h2 = h.reshape(R, _ROW)
+        w2 = wp.reshape(R, _ROW)
+        order = jnp.argsort(jnp.where(e2, 0, 1).astype(jnp.int32), axis=1,
+                            stable=True)[:, :_CAP_R]
+        row_cnt = e2.sum(axis=1).astype(jnp.int32)
+        overflow = (row_cnt > _CAP_R).any()
+        hr = jnp.take_along_axis(h2, order, axis=1)
+        wr = jnp.take_along_axis(w2, order, axis=1)
+        return hr, wr, row_cnt, overflow, ns, nh
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _assemble_jit(p_rows: int, out_size: int):
+    """Program C+D: scatter all row pieces into packed arrays, then
+    hash-stable sort for the occurrence order.
+
+    Inputs: h (P, CAP_R), wp (P, CAP_R), cnt (P,), sid (P,).
+    Output: mi_* and occ_* (out_size,) padded arrays + total count.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def f(h, wp, cnt, sid):
+        base = jnp.cumsum(cnt) - cnt                      # exclusive prefix
+        j = jnp.arange(_CAP_R, dtype=jnp.int32)[None, :]
+        valid = j < cnt[:, None]
+        dst = jnp.where(valid, base[:, None] + j, out_size)
+        mi_hash = jnp.full(out_size + 1, _UMAX, jnp.uint32).at[dst].set(
+            h, mode="drop")[:out_size]
+        mi_wpos = jnp.full(out_size + 1, _PINF, jnp.int32).at[dst].set(
+            wp, mode="drop")[:out_size]
+        sid_b = jnp.broadcast_to(sid[:, None], (p_rows, _CAP_R))
+        mi_sid = jnp.full(out_size + 1, _PINF, jnp.int32).at[dst].set(
+            sid_b, mode="drop")[:out_size]
+        order = jnp.argsort(mi_hash, stable=True)         # pads stay at tail
+        total = cnt.sum().astype(jnp.int64)
+        n_unique = ((mi_hash[order][1:] != mi_hash[order][:-1])
+                    & (jnp.arange(out_size - 1, dtype=jnp.int64) + 1 < total)
+                    ).sum().astype(jnp.int64) + (total > 0)
+        return (mi_hash, mi_sid, mi_wpos,
+                mi_hash[order], mi_sid[order], mi_wpos[order],
+                total, n_unique)
+
+    return jax.jit(f)
+
+
+def winnow_contig_device(seq_np: np.ndarray, k: int, w: int,
+                         chunk: int = _CHUNK):
+    """Winnow one contig on the accelerator.
+
+    Returns (pieces, overflow): pieces is a list of
+    (h_rows (R,CAP_R), wp_rows (R,CAP_R), row_cnt (R,)) device triples;
+    overflow is a device bool scalar (any row over per-row cap).
+    """
+    import jax.numpy as jnp
+
+    seq_np = hashing.upper_np(np.asarray(seq_np, np.uint8))
+    L = len(seq_np)
+    if L - k + 1 <= 0 or L < w:
+        return [], None
+    halo = w - 1
+    width = halo + chunk + k - 1
+    fn = _chunk_jit(k, w, chunk)
+    carry_sel, carry_has = np.int32(-2), np.bool_(False)
+    pieces = []
+    overflow = None
+    for base in range(0, L, chunk):
+        buf = np.zeros(width, np.uint8)
+        lo = base - halo
+        src_lo = max(lo, 0)
+        src_hi = min(base + chunk + k - 1, L)
+        buf[src_lo - lo: src_hi - lo] = seq_np[src_lo:src_hi]
+        hr, wr, cnt, over, carry_sel, carry_has = fn(
+            jnp.asarray(buf), np.int32(base), carry_sel, carry_has,
+            np.int32(L))
+        pieces.append((hr, wr, cnt))
+        overflow = over if overflow is None else (overflow | over)
+    return pieces, overflow
+
+
+def _pow2(x: int, floor: int = 128) -> int:
+    return max(floor, 1 << max(int(x) - 1, 1).bit_length())
+
+
+def build_device(cls, params: Parameters,
+                 ref_files: Optional[Sequence[str]] = None):
+    """Device-resident ReferenceIndex build.  ``cls`` is ReferenceIndex
+    (passed in to avoid a circular import)."""
+    import jax.numpy as jnp
+
+    from fastani_tpu.index.sketch import ContigInfo
+
+    files = list(ref_files if ref_files is not None else params.ref_sequences)
+    k, w = params.kmer_size, params.window_size
+    metadata: List[ContigInfo] = []
+    seq_by_file: List[int] = []
+    pieces = []              # (h_rows, wp_rows, row_cnt) device triples
+    piece_seq: List[int] = []    # contig id per piece
+    piece_of_seq: List[List[int]] = []  # piece indices per contig
+    host_seqs: List[Optional[np.ndarray]] = []  # kept for overflow fallback
+    overflows = []
+    seq_counter = 0
+    for path in files:
+        for name, seq in fasta.read_sequences(path):
+            metadata.append(ContigInfo(name, len(seq)))
+            ps, over = winnow_contig_device(seq, k, w)
+            piece_of_seq.append(list(range(len(pieces), len(pieces) + len(ps))))
+            for p in ps:
+                pieces.append(p)
+                piece_seq.append(seq_counter)
+            host_seqs.append(seq)
+            overflows.append(over)
+            seq_counter += 1
+        seq_by_file.append(seq_counter)
+
+    # one D2H: per-contig overflow flags (rare; host fallback is exact)
+    over_np = np.array([bool(o) if o is not None else False
+                        for o in overflows])
+    for sid in np.nonzero(over_np)[0]:
+        h, wp = minimizer.winnow_sequence_np(host_seqs[sid], k, w)
+        rows = -(-len(h) // _CAP_R)
+        hr = np.full((max(rows, 1), _CAP_R), _UMAX, np.uint32)
+        wr = np.full((max(rows, 1), _CAP_R), _PINF, np.int32)
+        cnt = np.zeros(max(rows, 1), np.int32)
+        for r in range(rows):
+            part_h = h[r * _CAP_R:(r + 1) * _CAP_R]
+            hr[r, :len(part_h)] = part_h
+            wr[r, :len(part_h)] = wp[r * _CAP_R:(r + 1) * _CAP_R]
+            cnt[r] = len(part_h)
+        piece = (jnp.asarray(hr), jnp.asarray(wr), jnp.asarray(cnt))
+        # replace this contig's device pieces with the exact host ones
+        old = piece_of_seq[sid]
+        if old:
+            pieces[old[0]] = piece
+            for dead in old[1:]:
+                z = pieces[dead]
+                pieces[dead] = (z[0], z[1], jnp.zeros_like(z[2]))
+        else:
+            pieces.append(piece)
+            piece_seq.append(int(sid))
+
+    R = _CHUNK // _ROW
+    if pieces:
+        h_stack = jnp.concatenate([p[0] for p in pieces])          # (P*, CAP_R)
+        wp_stack = jnp.concatenate([p[1] for p in pieces])
+        cnt_stack = jnp.concatenate([p[2] for p in pieces])
+        sid_np = np.concatenate([
+            np.full(int(p[0].shape[0]), s, np.int32)
+            for p, s in zip(pieces, piece_seq)])
+    else:
+        h_stack = jnp.full((1, _CAP_R), _UMAX, jnp.uint32)
+        wp_stack = jnp.full((1, _CAP_R), _PINF, jnp.int32)
+        cnt_stack = jnp.zeros((1,), jnp.int32)
+        sid_np = np.zeros(1, np.int32)
+
+    # pad piece-row count to pow2 so the assembly program is reusable
+    P = int(h_stack.shape[0])
+    Pp = _pow2(P, floor=8)
+    if Pp > P:
+        h_stack = jnp.concatenate(
+            [h_stack, jnp.full((Pp - P, _CAP_R), _UMAX, jnp.uint32)])
+        wp_stack = jnp.concatenate(
+            [wp_stack, jnp.full((Pp - P, _CAP_R), _PINF, jnp.int32)])
+        cnt_stack = jnp.concatenate([cnt_stack, jnp.zeros(Pp - P, jnp.int32)])
+        sid_np = np.concatenate([sid_np, np.zeros(Pp - P, np.int32)])
+
+    out_size = _pow2(Pp * _CAP_R)
+    (mi_hash, mi_sid, mi_wpos, occ_hash, occ_sid, occ_wpos,
+     total, n_unique) = _assemble_jit(Pp, out_size)(
+        h_stack, wp_stack, cnt_stack, jnp.asarray(sid_np))
+
+    res = np.asarray(jnp.stack([total, n_unique]))   # ONE small D2H
+    M, n_uniq = int(res[0]), int(res[1])
+
+    # per-contig entry spans (host; one small row-count transfer)
+    cnt_host = np.asarray(cnt_stack)[:P]
+    counts = np.zeros(len(metadata), np.int64)
+    np.add.at(counts, sid_np[:P], cnt_host.astype(np.int64))
+    seq_start = np.zeros(len(metadata) + 1, np.int64)
+    seq_start[1:] = np.cumsum(counts)
+
+    index = cls(params=params, metadata=metadata,
+                sequences_by_file=np.asarray(seq_by_file, np.int32),
+                mi_hash=mi_hash, mi_seqid=mi_sid, mi_wpos=mi_wpos,
+                occ_hash=occ_hash, occ_seqid=occ_sid, occ_wpos=occ_wpos,
+                seq_start=seq_start,
+                freq_threshold=np.iinfo(np.int32).max)
+    index._n_valid = M
+    index._n_unique_dev = n_uniq
+    return index

@@ -57,15 +57,47 @@ class ReferenceIndex:
     uniq_hash_ratio: float = 0.0
     ratio_difference: float = 0.0
 
+    # set by the device build (index arrays live in HBM, padded to pow-2
+    # with UMAX/2^30 sentinels; _n_valid is the true entry count)
+    _n_valid: Optional[int] = None
+    _n_unique_dev: Optional[int] = None
+    _host_clone: Optional["ReferenceIndex"] = None
+
     @property
     def num_entries(self) -> int:
+        if self._n_valid is not None:
+            return self._n_valid
         return len(self.mi_hash)
 
     @property
     def num_unique_hashes(self) -> int:
+        if self._n_unique_dev is not None:
+            return self._n_unique_dev
         if len(self.occ_hash) == 0:
             return 0
         return int((np.diff(self.occ_hash) != 0).sum()) + 1
+
+    def is_device_resident(self) -> bool:
+        return not isinstance(self.mi_hash, np.ndarray)
+
+    def host_view(self) -> "ReferenceIndex":
+        """Numpy copy of a device-resident index, pads stripped (for the
+        exact host fallback path and save()); cached — the transfer is
+        expensive on tunneled TPUs."""
+        if not self.is_device_resident():
+            return self
+        if self._host_clone is None:
+            n = self.num_entries
+            self._host_clone = dataclasses.replace(
+                self,
+                mi_hash=np.asarray(self.mi_hash)[:n],
+                mi_seqid=np.asarray(self.mi_seqid)[:n],
+                mi_wpos=np.asarray(self.mi_wpos)[:n],
+                occ_hash=np.asarray(self.occ_hash)[:n],
+                occ_seqid=np.asarray(self.occ_seqid)[:n],
+                occ_wpos=np.asarray(self.occ_wpos)[:n],
+                _n_valid=None, _n_unique_dev=self._n_unique_dev)
+        return self._host_clone
 
     # -- construction -------------------------------------------------------
 
@@ -101,6 +133,15 @@ class ReferenceIndex:
             mi_wpos = np.zeros(0, np.int32)
         return cls._finish(params, metadata, np.asarray(seq_by_file, np.int32),
                            mi_hash, mi_seqid, mi_wpos)
+
+    @classmethod
+    def build_device(cls, params: Parameters,
+                     ref_files: Optional[Sequence[str]] = None) -> "ReferenceIndex":
+        """Device-resident build: winnow + compact + sort on the accelerator,
+        arrays stay in HBM (see index/device_build.py)."""
+        from fastani_tpu.index import device_build
+
+        return device_build.build_device(cls, params, ref_files)
 
     @classmethod
     def _finish(cls, params, metadata, seq_by_file, mi_hash, mi_seqid, mi_wpos):
@@ -163,6 +204,8 @@ class ReferenceIndex:
 
     def save(self, path: str) -> None:
         """Persist the index (arrays + metadata) to ``path`` (.npz)."""
+        if self.is_device_resident():
+            return self.host_view().save(path)
         names = np.array([c.name for c in self.metadata])
         lengths = np.array([c.length for c in self.metadata], np.int64)
         np.savez_compressed(

@@ -31,13 +31,21 @@ from fastani_tpu.ops import stats
 @functools.lru_cache(maxsize=None)
 def gate_lut_np(k: int, perc_identity: float, s_max: int) -> np.ndarray:
     """min_c[s] = smallest shared count whose CI upper bound passes the
-    identity cutoff (computeMap.hpp:384); sentinel s_max+1 for s=0."""
-    out = np.full(s_max + 1, s_max + 1, dtype=np.int32)
-    for s in range(1, s_max + 1):
-        _, upper = stats.identity_lut(s, k)
-        ok = np.nonzero(upper >= np.float32(perc_identity))[0]
-        out[s] = int(ok[0]) if len(ok) else s + 1
-    return out
+    identity cutoff (computeMap.hpp:384); sentinel s_max+1 for s=0.
+
+    O(s_max^2) binomial-CI evaluations (~1 min of scipy at s_max=384), so
+    the table is disk-cached per (k, identity, s_max)."""
+    from fastani_tpu.utils import platform
+
+    def compute():
+        out = np.full(s_max + 1, s_max + 1, dtype=np.int32)
+        for s in range(1, s_max + 1):
+            _, upper = stats.identity_lut(s, k)
+            ok = np.nonzero(upper >= np.float32(perc_identity))[0]
+            out[s] = int(ok[0]) if len(ok) else s + 1
+        return out
+
+    return platform.lut_cache("gate", compute, k, perc_identity, s_max)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,9 +79,12 @@ class MapperConfig:
 
 
 def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
-             mi_hash, mi_sid, mi_wpos, seq_start, min_hits_lut, gate_lut):
+             mi_hash, mi_sid, mi_wpos, seq_start, min_hits_lut, gate_lut,
+             n_occ=None):
     """One fragment batch against one index shard.  Pure function of arrays.
 
+    Index arrays may be padded (pow-2 bucketed for compile reuse); n_occ is
+    the true occurrence count (traced scalar).
     Returns dict of (U_cap,) arrays: frag, sid, shared, sketch, mean_pos,
     valid (gated), plus overflow diagnostics.
     """
@@ -84,7 +95,7 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
     qh, s, sk_over = mapping.sketch_fragments(xp, frags, k, w, cfg.sketch_cap)
     l1 = mapping.l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos,
                                min_hits_lut, cfg.freq_threshold, l,
-                               cfg.hits_cap, cfg.cand_cap)
+                               cfg.hits_cap, cfg.cand_cap, n_occ=n_occ)
 
     # flatten + compact the candidate grid to U_cap units on device
     u_frag = jnp.repeat(jnp.arange(F, dtype=jnp.int32), cfg.cand_cap)
@@ -101,32 +112,48 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
     u_valid = u_valid[take]
     unit_overflow = u_valid.sum() < l1.valid.sum()  # units dropped
 
-    # L2 in lax.map chunks
+    # L2 in fixed-size chunks driven by a while_loop that stops after the
+    # last chunk containing a VALID unit — units were compacted valid-first
+    # above, so work scales with real candidates, not with unit_cap (which
+    # is sized for the worst case and typically 5-10x larger).
     n_chunks = -(-cfg.unit_cap // cfg.unit_chunk)
     pad = n_chunks * cfg.unit_chunk - cfg.unit_cap
 
     def pad_to(x, fill=0):
         return jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)]) if pad else x
 
-    cu_frag = pad_to(u_frag).reshape(n_chunks, cfg.unit_chunk)
-    cu_sid = pad_to(u_sid).reshape(n_chunks, cfg.unit_chunk)
-    cu_start = pad_to(u_start).reshape(n_chunks, cfg.unit_chunk)
-    cu_end = pad_to(u_end).reshape(n_chunks, cfg.unit_chunk)
-    cu_valid = pad_to(u_valid.astype(jnp.int32)).reshape(n_chunks, cfg.unit_chunk) > 0
+    cu_frag = pad_to(u_frag)
+    cu_sid = pad_to(u_sid)
+    cu_start = pad_to(u_start)
+    cu_end = pad_to(u_end)
+    cu_valid = pad_to(u_valid.astype(jnp.int32)) > 0
 
-    def chunk_fn(args):
-        cf, csid, cst, cen, cva = args
-        r = mapping.l2_map_units(jnp, qh, s, cf, csid, cst, cen, cva,
+    n_live = -(-u_valid.sum().astype(jnp.int32) // cfg.unit_chunk)
+    U_pad = n_chunks * cfg.unit_chunk
+    out_init = (jnp.zeros(U_pad, jnp.int32), jnp.zeros(U_pad, jnp.int32),
+                jnp.zeros(U_pad, bool), jnp.zeros(U_pad, bool))
+
+    def cond(state):
+        return state[0] < n_live
+
+    def body(state):
+        i, (o_sh, o_mp, o_va, o_ov) = state
+        off = i * cfg.unit_chunk
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, off, cfg.unit_chunk)
+        r = mapping.l2_map_units(jnp, qh, s, sl(cu_frag), sl(cu_sid),
+                                 sl(cu_start), sl(cu_end), sl(cu_valid),
                                  mi_hash, mi_sid, mi_wpos, seq_start,
                                  l, k, w, cfg.l2_entry_cap)
-        return r.shared, r.mean_pos, r.valid, r.overflow
+        upd = lambda o, v: jax.lax.dynamic_update_slice_in_dim(o, v, off, 0)
+        return (i + 1, (upd(o_sh, r.shared), upd(o_mp, r.mean_pos),
+                        upd(o_va, r.valid), upd(o_ov, r.overflow)))
 
-    shared, mean_pos, l2_valid, l2_over = jax.lax.map(
-        chunk_fn, (cu_frag, cu_sid, cu_start, cu_end, cu_valid))
-    shared = shared.reshape(-1)[: cfg.unit_cap]
-    mean_pos = mean_pos.reshape(-1)[: cfg.unit_cap]
-    l2_valid = l2_valid.reshape(-1)[: cfg.unit_cap]
-    l2_over = l2_over.reshape(-1)[: cfg.unit_cap]
+    _, (shared, mean_pos, l2_valid, l2_over) = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), out_init))
+    shared = shared[: cfg.unit_cap]
+    mean_pos = mean_pos[: cfg.unit_cap]
+    l2_valid = l2_valid[: cfg.unit_cap]
+    l2_over = l2_over[: cfg.unit_cap]
 
     # identity gate on device: shared >= gate_lut[s]
     s_u = s[u_frag]
@@ -142,10 +169,56 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
     )
 
 
-class JitMapper:
-    """Compiled mapping step bound to one index shard resident on device."""
+def map_step_packed(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
+                    mi_hash, mi_sid, mi_wpos, seq_start, min_hits_lut,
+                    gate_lut, n_occ=None):
+    """map_step + device-side compaction for host consumption.
 
-    def __init__(self, params, index, unit_factor: int = 4, unit_chunk: int = 16):
+    The session TPU's device->host link runs at ~1 MB/s with ~30 ms
+    round-trip latency, so results are packed into ONE (5, U_cap) int32
+    block sorted valid-first; the host slices [:, :n_valid] and issues a
+    single small transfer.  Overflow masks are returned unpacked but only
+    fetched when the counts flags say so (rare).
+    """
+    out = map_step(cfg, frags, occ_hash, occ_sid, occ_wpos, mi_hash, mi_sid,
+                   mi_wpos, seq_start, min_hits_lut, gate_lut, n_occ=n_occ)
+    keep = out["valid"]
+    corder = jnp.argsort(jnp.where(keep, 0, 1).astype(jnp.int32), stable=True)
+    packed = jnp.stack([
+        out["frag"], out["sid"], out["shared"], out["sketch"],
+        out["mean_pos"]])[:, corder]
+    counts = jnp.stack([
+        keep.sum().astype(jnp.int32),
+        out["frag_sketch_overflow"].any().astype(jnp.int32),
+        out["l1_overflow"].any().astype(jnp.int32),
+        out["l2_overflow"].any().astype(jnp.int32),
+        out["unit_frag_overflow"].astype(jnp.int32)])
+    return dict(
+        packed=packed,                              # (5, U_cap) valid-first
+        counts=counts,                              # (5,)
+        frag_sketch_overflow=out["frag_sketch_overflow"],
+        l1_overflow=out["l1_overflow"],
+        l2_overflow=out["l2_overflow"],
+        unit_frag=out["frag"],
+    )
+
+
+class JitMapper:
+    """Compiled mapping step bound to one index shard resident on device.
+
+    Calling it with a (F, frag_len) uint8 batch returns already-gated
+    results as small host arrays:
+
+        frag, sid, shared, sketch, mean_pos : (R,) int32 — valid mappings
+        fallback_frags : (Fb,) int32 — batch rows whose capacities
+            overflowed; their results are excluded and the caller must
+            recompute them with the exact host model.
+
+    Only the valid prefix and a 5-int counts vector cross the (slow)
+    device->host link; the dense per-unit buffers stay on device.
+    """
+
+    def __init__(self, params, index, unit_factor: int = 4, unit_chunk: int = 128):
         self.params = params
         self.index = index
         self.cfg = MapperConfig.from_params(params, index.freq_threshold,
@@ -154,14 +227,39 @@ class JitMapper:
         s_max = max(params.sketch_cap, 1)
         self._min_hits = jnp.asarray(stats.min_hits_lut(k, params.percentage_identity, s_max))
         self._gate = jnp.asarray(gate_lut_np(k, params.percentage_identity, s_max))
-        self._occ_hash = jnp.asarray(index.occ_hash)
-        self._occ_sid = jnp.asarray(index.occ_seqid)
-        self._occ_wpos = jnp.asarray(index.occ_wpos)
-        self._mi_hash = jnp.asarray(index.mi_hash)
-        self._mi_sid = jnp.asarray(index.mi_seqid)
-        self._mi_wpos = jnp.asarray(index.mi_wpos)
-        self._seq_start = jnp.asarray(index.seq_start)
-        self._fn = jax.jit(functools.partial(map_step, self.cfg))
+
+        # pow-2 bucket the index arrays so one compiled executable serves
+        # any index size (shape changes would otherwise force a ~3 min
+        # XLA:TPU recompile per workload).  Device-built indexes arrive
+        # pre-padded (possibly beyond pow2(M)); keep their shape.
+        M = index.num_entries
+        Mp = max(128, 1 << max(M - 1, 1).bit_length(),
+                 len(index.occ_hash))
+        _PINF = np.int32(2**30)
+
+        def pad(a, fill, dtype):
+            if isinstance(a, np.ndarray):
+                out = np.full(Mp, fill, dtype)
+                out[:len(a)] = a
+                return jnp.asarray(out)
+            # device-resident: pad in HBM, no host round-trip
+            n = a.shape[0]
+            return jnp.concatenate(
+                [a, jnp.full((Mp - n,), fill, a.dtype)]) if Mp > n else a
+
+        self._n_occ = jnp.int32(M)
+        self._occ_hash = pad(index.occ_hash, 0xFFFFFFFF, np.uint32)
+        self._occ_sid = pad(index.occ_seqid, _PINF, np.int32)
+        self._occ_wpos = pad(index.occ_wpos, _PINF, np.int32)
+        self._mi_hash = pad(index.mi_hash, 0xFFFFFFFF, np.uint32)
+        self._mi_sid = pad(index.mi_seqid, _PINF, np.int32)
+        self._mi_wpos = pad(index.mi_wpos, _PINF, np.int32)
+        S = len(index.seq_start)
+        Sp = max(8, 1 << max(S - 1, 1).bit_length())
+        ss = np.full(Sp, index.seq_start[-1] if S else 0, np.int64)
+        ss[:S] = index.seq_start
+        self._seq_start = jnp.asarray(ss)
+        self._fn = jax.jit(functools.partial(map_step_packed, self.cfg))
 
     def __call__(self, frags_u8: np.ndarray) -> Dict[str, np.ndarray]:
         F = frags_u8.shape[0]
@@ -173,13 +271,34 @@ class JitMapper:
         out = self._fn(jnp.asarray(frags_u8), self._occ_hash, self._occ_sid,
                        self._occ_wpos, self._mi_hash, self._mi_sid,
                        self._mi_wpos, self._seq_start, self._min_hits,
-                       self._gate)
-        host = {k2: np.asarray(v) for k2, v in out.items()}
-        if F < B:  # strip padding rows
-            keep = host["frag"] < F
-            for k2 in ("frag", "sid", "shared", "sketch", "mean_pos", "valid",
-                       "l2_overflow", "l2_unit_valid"):
-                host[k2] = host[k2][keep]
-            host["frag_sketch_overflow"] = host["frag_sketch_overflow"][:F]
-            host["l1_overflow"] = host["l1_overflow"][:F]
-        return host
+                       self._gate, self._n_occ)
+        counts = np.asarray(out["counts"])
+        n = int(counts[0])
+        packed = (np.asarray(out["packed"][:, :n]) if n
+                  else np.zeros((5, 0), np.int32))
+        frag, sid, shared, sketch, mean_pos = packed
+
+        fallback = set()
+        if counts[1]:  # fragment sketch overflow
+            fallback |= set(np.nonzero(
+                np.asarray(out["frag_sketch_overflow"])[:F])[0].tolist())
+        if counts[2]:  # L1 hits/candidates overflow
+            fallback |= set(np.nonzero(
+                np.asarray(out["l1_overflow"])[:F])[0].tolist())
+        if counts[3]:  # L2 entry-range overflow: attribute to fragments
+            l2o = np.asarray(out["l2_overflow"])
+            uf = np.asarray(out["unit_frag"])
+            fallback |= set(uf[np.nonzero(l2o)[0]].tolist())
+        if counts[4]:  # unit-list truncation: all fragments suspect
+            fallback |= set(range(F))
+        fallback = {f for f in fallback if f < F}
+
+        keep = frag < F
+        if fallback:
+            fb = np.fromiter(sorted(fallback), np.int32, len(fallback))
+            keep &= ~np.isin(frag, fb)
+        else:
+            fb = np.zeros(0, np.int32)
+        return dict(frag=frag[keep], sid=sid[keep], shared=shared[keep],
+                    sketch=sketch[keep], mean_pos=mean_pos[keep],
+                    fallback_frags=fb)

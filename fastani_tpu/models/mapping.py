@@ -121,16 +121,20 @@ def sketch_fragments(xp, frags_u8, k: int, w: int, scap: int):
     lens = xp.full((F,), L, xp.int32)
     emit, h, _ = winnow_batched(xp, frags_u8, k, w, lens)
     n = h.shape[-1]
-    # sort per row: emitted first, by hash
-    order = xp.lexsort((h, xp.where(emit, 0, 1).astype(xp.int32)), axis=-1)
-    hk = take_along(xp, h, order, -1)
+    # single-key sort: un-emitted rows pushed to UMAX (an emitted minimizer
+    # hash of exactly UMAX needs both strands ~2^-64 — ignored)
+    hk = xp.sort(xp.where(emit, h, xp.asarray(_UMAX)), axis=-1)
     n_emit = emit.sum(axis=-1).astype(xp.int32)
     j = xp.arange(n, dtype=xp.int32)
     within = j < n_emit[:, None]
     prev = xp.concatenate([xp.full((F, 1), _UMAX, xp.uint32), hk[..., :-1]], axis=-1)
     first = within & ((j == 0) | (hk != prev))
     s = first.sum(axis=-1).astype(xp.int32)
-    order2 = xp.lexsort((hk, xp.where(first, 0, 1).astype(xp.int32)), axis=-1)
+    # compact unique hashes to the front: stable 1-key sort on the first-flag
+    # keeps ascending hash order within the kept group
+    order2 = xp.argsort(xp.where(first, 0, 1).astype(xp.int32), axis=-1,
+                        kind="stable") if not is_jax(xp) else \
+        xp.argsort(xp.where(first, 0, 1).astype(xp.int32), axis=-1, stable=True)
     qh = take_along(xp, hk, order2, -1)[:, :scap]
     jj = xp.arange(scap, dtype=xp.int32)
     qh = xp.where(jj < xp.minimum(s, scap)[:, None], qh, xp.asarray(_UMAX))
@@ -167,20 +171,32 @@ _register_pytree(L1Result)
 
 
 def l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos, min_hits_lut,
-                  freq_threshold: int, frag_len: int, hits_cap: int, cand_cap: int):
-    """Batched L1 stage.  qh (F, scap) sorted unique hashes (UMAX padded)."""
+                  freq_threshold: int, frag_len: int, hits_cap: int, cand_cap: int,
+                  n_occ=None):
+    """Batched L1 stage.  qh (F, scap) sorted unique hashes (UMAX padded).
+
+    n_occ (traced scalar, optional): true entry count when occ arrays are
+    padded (pads hold UMAX hashes; the clamp keeps a genuine UMAX query
+    hash from matching them).
+    """
     F, scap = qh.shape
     M = occ_hash.shape[0]
     jj = xp.arange(scap, dtype=xp.int32)
     qvalid = jj < s[:, None]
     if is_jax(xp):
-        # the sort-based lowering beats the default scan on TPU (~3x)
-        lo = xp.searchsorted(occ_hash, qh, side="left", method="sort").astype(xp.int32)
-        hi = xp.searchsorted(occ_hash, qh, side="right", method="sort").astype(xp.int32)
+        # the sort-based lowering beats the default scan on TPU (~3x); one
+        # fused call: right-bound of integer hash h == left-bound of h+1
+        # (UMAX wrap lands in the pad region, removed by the n_occ clamp)
+        q2 = xp.concatenate([qh, qh + xp.uint32(1)], axis=-1)
+        r = xp.searchsorted(occ_hash, q2, side="left", method="sort").astype(xp.int32)
+        lo, hi = r[:, :scap], r[:, scap:]
     else:
         lo = xp.searchsorted(occ_hash, qh, side="left").astype(xp.int32)
         hi = xp.searchsorted(occ_hash, qh, side="right").astype(xp.int32)
-    cnt = xp.where(qvalid, hi - lo, 0)
+    if n_occ is not None:
+        lo = xp.minimum(lo, n_occ)
+        hi = xp.minimum(hi, n_occ)
+    cnt = xp.maximum(xp.where(qvalid, hi - lo, 0), 0)
     cnt = xp.where(cnt < freq_threshold, cnt, 0)
     cum = xp.cumsum(cnt, axis=-1).astype(xp.int32)
     total = cum[:, -1]

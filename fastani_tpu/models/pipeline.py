@@ -65,23 +65,51 @@ def load_query_fragments(path: str, params: Parameters) -> QueryFragments:
 
 def map_query(query_frags: QueryFragments, index: ReferenceIndex,
               params: Parameters, backend: str = "numpy",
-              frag_batch: Optional[int] = None) -> List[Mapping]:
+              frag_batch: Optional[int] = None,
+              jit_mapper=None) -> List[Mapping]:
     """Map all fragments of one query genome against the index."""
     from fastani_tpu.utils import refmodel
 
-    if backend == "numpy":
-        import numpy as xp
-        generous = True
-    else:
-        import jax.numpy as xp
-        generous = False
     mappings: List[Mapping] = []
     F = len(query_frags.frags)
     bs = frag_batch or params.frag_batch
+
+    if backend == "jax":
+        # compiled device path: batches stream through the resident index;
+        # only gated results + overflow flags come back
+        from fastani_tpu.models import jitmap
+        from fastani_tpu.ops import stats
+
+        mapper = jit_mapper or jitmap.JitMapper(params, index)
+        for b0 in range(0, F, bs):
+            out = mapper(query_frags.frags[b0:b0 + bs])
+            if len(out["frag"]):
+                ident, upper = stats.identities_for(out["shared"],
+                                                    out["sketch"],
+                                                    params.kmer_size)
+                for i in range(len(out["frag"])):
+                    mappings.append(Mapping(
+                        query_seq_id=int(query_frags.frag_ids[b0 + out["frag"][i]]),
+                        ref_seq_id=int(out["sid"][i]),
+                        ref_start_pos=int(out["mean_pos"][i]),
+                        nuc_identity=ident[i],
+                        nuc_identity_upper=upper[i],
+                        conserved=int(out["shared"][i]),
+                        sketch_size=int(out["sketch"][i]),
+                        query_len=params.frag_len))
+            if len(out["fallback_frags"]):
+                hindex = index.host_view()
+                for fb in out["fallback_frags"]:
+                    mappings.extend(refmodel.map_fragment(
+                        query_frags.frags[b0 + fb], hindex, params,
+                        int(query_frags.frag_ids[b0 + fb])))
+        return mappings
+
+    import numpy as xp
     for b0 in range(0, F, bs):
         b1 = min(b0 + bs, F)
         batch = glue.map_fragment_batch(xp, query_frags.frags[b0:b1], index,
-                                        params, generous=generous)
+                                        params, generous=True)
         mappings.extend(glue.gate_and_format(
             batch, query_frags.frag_ids[b0:b1], params))
         for fb in batch.fallback_frags:
@@ -89,6 +117,59 @@ def map_query(query_frags: QueryFragments, index: ReferenceIndex,
                 query_frags.frags[b0 + fb], index, params,
                 int(query_frags.frag_ids[b0 + fb])))
     return mappings
+
+
+def map_queries_batched(queries: List[QueryFragments], index: ReferenceIndex,
+                        params: Parameters, jit_mapper) -> List[List[Mapping]]:
+    """Map MANY query genomes in shared full-size device batches.
+
+    The compiled map step has fixed (frag_batch,)-shaped cost, so packing
+    fragments from consecutive query genomes into one batch makes cost
+    scale with total fragments instead of with query count (the reference
+    maps queries one at a time — computeMap.hpp:132 — because its cost is
+    per-fragment; ours is per-batch).  Returns one mapping list per query.
+    """
+    from fastani_tpu.ops import stats
+    from fastani_tpu.utils import refmodel
+
+    B = params.frag_batch
+    L = params.frag_len
+    all_frags = np.concatenate([q.frags for q in queries]) \
+        if queries else np.zeros((0, L), np.uint8)
+    qno_of_row = np.concatenate([
+        np.full(len(q.frags), i, np.int32) for i, q in enumerate(queries)]) \
+        if queries else np.zeros(0, np.int32)
+    gid_of_row = np.concatenate([q.frag_ids for q in queries]) \
+        if queries else np.zeros(0, np.int32)
+
+    out_maps: List[List[Mapping]] = [[] for _ in queries]
+    hindex = None
+    F = len(all_frags)
+    for b0 in range(0, F, B):
+        out = jit_mapper(all_frags[b0:b0 + B])
+        if len(out["frag"]):
+            ident, upper = stats.identities_for(out["shared"], out["sketch"],
+                                                params.kmer_size)
+            rows = b0 + out["frag"]
+            for i in range(len(out["frag"])):
+                out_maps[qno_of_row[rows[i]]].append(Mapping(
+                    query_seq_id=int(gid_of_row[rows[i]]),
+                    ref_seq_id=int(out["sid"][i]),
+                    ref_start_pos=int(out["mean_pos"][i]),
+                    nuc_identity=ident[i],
+                    nuc_identity_upper=upper[i],
+                    conserved=int(out["shared"][i]),
+                    sketch_size=int(out["sketch"][i]),
+                    query_len=L))
+        for fb in out["fallback_frags"]:
+            if hindex is None:
+                hindex = index.host_view()
+            row = b0 + fb
+            out_maps[qno_of_row[row]].extend(refmodel.map_fragment(
+                all_frags[row], hindex, params, int(gid_of_row[row])))
+    # CGI expects mappings grouped by fragment in input order; batching
+    # preserves row order per query already
+    return out_maps
 
 
 def run(params: Parameters, backend: str = "numpy",
@@ -103,7 +184,9 @@ def run(params: Parameters, backend: str = "numpy",
             f"{params.load_index} in {time.time()-t0:.2f}s: "
             f"{index.num_entries} minimizers")
     else:
-        index = ReferenceIndex.build(params)
+        build = (ReferenceIndex.build_device if backend == "jax"
+                 else ReferenceIndex.build)
+        index = build(params)
         log(f"INFO, fastani_tpu, reference sketched in {time.time()-t0:.2f}s: "
             f"{index.num_entries} minimizers, {index.num_unique_hashes} unique "
             f"(window size {params.window_size})")
@@ -123,13 +206,35 @@ def run(params: Parameters, backend: str = "numpy",
     if params.visualize and out_path:
         open(out_path + ".visual", "w").close()  # fresh run
 
+    jit_mapper = None
+    if sane and backend == "jax":
+        from fastani_tpu.models import jitmap
+
+        jit_mapper = jitmap.JitMapper(params, index)
+
     if sane:
+        if backend == "jax":
+            # fragments from all queries share full-size device batches
+            t0 = time.time()
+            qfs = [load_query_fragments(q, params)
+                   for q in params.query_sequences]
+            maps_per_q = map_queries_batched(qfs, index, params, jit_mapper)
+            log(f"INFO, fastani_tpu, mapped {len(qfs)} queries "
+                f"({sum(len(q.frags) for q in qfs)} fragments) in "
+                f"{time.time()-t0:.2f}s")
+        else:
+            qfs = None
+
         for qno, qpath in enumerate(params.query_sequences):
             t0 = time.time()
-            qf = load_query_fragments(qpath, params)
-            mappings = map_query(qf, index, params, backend=backend)
-            log(f"INFO, fastani_tpu, mapped query {qno + 1} "
-                f"({qf.total_fragments} fragments) in {time.time()-t0:.2f}s")
+            if qfs is not None:
+                qf, mappings = qfs[qno], maps_per_q[qno]
+            else:
+                qf = load_query_fragments(qpath, params)
+                mappings = map_query(qf, index, params, backend=backend,
+                                     jit_mapper=jit_mapper)
+                log(f"INFO, fastani_tpu, mapped query {qno + 1} "
+                    f"({qf.total_fragments} fragments) in {time.time()-t0:.2f}s")
             rows, visual = ani.compute_cgi(mappings, genome_of_seq,
                                            params.frag_len, qno,
                                            qf.total_fragments)

@@ -173,10 +173,39 @@ def winnow_chunk_kernel(seq_u8, base, carry_sel, carry_has, true_len, k: int, w:
 
 _CHUNK = 1 << 20
 
+# Host-build kernels are pinned to the in-process CPU backend: the index
+# build is a host pipeline (read -> winnow -> compact) and the session TPU
+# sits behind a tunnel whose device->host link runs at ~1 MB/s, so pulling
+# dense per-position winnowing output off the TPU costs far more than the
+# compute.  The device-resident build (index stays in HBM) uses the same
+# kernels via the mapping path instead.
 
-@partial(jax.jit, static_argnums=(5, 6))
+
+def _host_backend() -> str:
+    import jax
+
+    try:
+        jax.devices("cpu")
+        return "cpu"
+    except RuntimeError:
+        return jax.default_backend()
+
+
+_jit_cache = {}
+
+
+def _host_jit(fn, static_argnums):
+    """jax.jit on the CPU backend, resolved lazily (first call)."""
+    key = fn.__name__
+    if key not in _jit_cache:
+        _jit_cache[key] = jax.jit(fn, static_argnums=static_argnums,
+                                  backend=_host_backend())
+    return _jit_cache[key]
+
+
 def _winnow_chunk_jit(seq, base, carry_sel, carry_has, true_len, k, w):
-    return winnow_chunk_kernel(seq, base, carry_sel, carry_has, true_len, k, w)
+    return _host_jit(winnow_chunk_kernel, (5, 6))(
+        seq, base, carry_sel, carry_has, true_len, k, w)
 
 
 def winnow_sequence_chunked(seq: np.ndarray, k: int, w: int,
@@ -240,6 +269,5 @@ def winnow_sequence_np(seq: np.ndarray, k: int, w: int):
     return np.asarray(h)[emit], np.asarray(wpos)[emit]
 
 
-@partial(jax.jit, static_argnums=(1, 2))
 def _winnow_jit(seq, k, w, true_len):
-    return winnow_dense(seq, k, w, true_len)
+    return _host_jit(winnow_dense, (1, 2))(seq, k, w, true_len)

@@ -155,10 +155,15 @@ def min_hits_lut(k: int, perc_identity: float, s_max: int) -> np.ndarray:
     at computeMap.hpp:301 + computeMap.hpp:316-317.  s=0 fragments are skipped
     upstream; entry 0 is a placeholder 1.
     """
-    out = np.ones(s_max + 1, dtype=np.int32)
-    for s in range(1, s_max + 1):
-        out[s] = max(1, estimate_minimum_hits_relaxed(s, k, perc_identity))
-    return out
+    from fastani_tpu.utils import platform
+
+    def compute():
+        out = np.ones(s_max + 1, dtype=np.int32)
+        for s in range(1, s_max + 1):
+            out[s] = max(1, estimate_minimum_hits_relaxed(s, k, perc_identity))
+        return out
+
+    return platform.lut_cache("minhits", compute, k, perc_identity, s_max)
 
 
 @functools.lru_cache(maxsize=None)

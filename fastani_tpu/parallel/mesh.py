@@ -73,6 +73,7 @@ class ShardedIndex:
     seq_start: np.ndarray  # (n_r, S+1) int64
     genome_of_seq: np.ndarray  # (n_r, S) int32 — local seqid -> local genome no
     n_genomes: np.ndarray      # (n_r,) genomes per shard
+    n_occ: np.ndarray          # (n_r,) true (unpadded) entry count per shard
     freq_threshold: int
     max_local_genomes: int
     # map (shard, local genome) -> global genome id: global = local * n_r + shard
@@ -119,6 +120,7 @@ def build_sharded_index(params, ref_files: Sequence[str], n_r: int) -> ShardedIn
         seq_start=seq_start,
         genome_of_seq=gos,
         n_genomes=n_gen,
+        n_occ=np.asarray([ix.num_entries for ix in shards], np.int32),
         freq_threshold=min(ix.freq_threshold for ix in shards),
         max_local_genomes=nG,
     )
@@ -140,13 +142,14 @@ def make_sharded_step(cfg: jitmap.MapperConfig, mesh: Mesh, s_max: int, k: int,
     G = max_local_genomes
 
     def local_step(frags, occ_hash, occ_sid, occ_wpos, mi_hash, mi_sid,
-                   mi_wpos, seq_start, gos, min_hits, gate, ident2d):
+                   mi_wpos, seq_start, gos, n_occ, min_hits, gate, ident2d):
         # block-local arrays: leading r/q axes of size 1 from shard_map
         frags = frags.reshape(frags.shape[-2:])
         sq = lambda a: a.reshape(a.shape[-1:])
         out = jitmap.map_step(cfg, frags, sq(occ_hash), sq(occ_sid),
                               sq(occ_wpos), sq(mi_hash), sq(mi_sid),
-                              sq(mi_wpos), sq(seq_start), min_hits, gate)
+                              sq(mi_wpos), sq(seq_start), min_hits, gate,
+                              n_occ=sq(n_occ)[0])
         gos1 = sq(gos)
         frag_ids = out["frag"]
         # global fragment id = local row + q_block_offset
@@ -202,7 +205,7 @@ def make_sharded_step(cfg: jitmap.MapperConfig, mesh: Mesh, s_max: int, k: int,
         in_specs=(P("q", None, None),            # frags stacked (n_q, F_local, L)
                   P("r", None), P("r", None), P("r", None),
                   P("r", None), P("r", None), P("r", None),
-                  P("r", None), P("r", None),
+                  P("r", None), P("r", None), P("r"),
                   P(), P(), P()),
         out_specs=(P("r", None), P("r", None)),
         check_vma=False,

@@ -22,6 +22,27 @@ def setup_cache(path: str = "/root/.cache/jax_fastani") -> None:
         pass
 
 
+def lut_cache(name: str, compute, *key) -> "np.ndarray":
+    """Disk-backed cache for deterministic host LUTs (the binomial-CI
+    tables cost ~1 min of scipy time per (k, identity, s_max))."""
+    import numpy as np
+
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_fastani")
+    os.makedirs(d, exist_ok=True)
+    key_s = "_".join(str(x).replace(".", "p") for x in key)
+    path = os.path.join(d, f"lut_{name}_{key_s}.npy")
+    if os.path.exists(path):
+        try:
+            return np.load(path)
+        except Exception:
+            pass
+    out = compute()
+    tmp = path + ".tmp.npy"
+    np.save(tmp, out)
+    os.replace(tmp, path)
+    return out
+
+
 def force_cpu() -> None:
     try:
         import jax

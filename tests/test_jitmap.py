@@ -34,10 +34,9 @@ def test_jit_mapper_matches_host_path(world):
     params, index, frags = world
     mapper = jitmap.JitMapper(params, index, unit_factor=4, unit_chunk=4)
     out = mapper(frags)
-    assert not out["frag_sketch_overflow"].any()
-    assert not out["l1_overflow"].any()
+    assert len(out["fallback_frags"]) == 0
     got = set()
-    for i in np.nonzero(out["valid"])[0]:
+    for i in range(len(out["frag"])):
         got.add((int(out["frag"][i]), int(out["sid"][i]), int(out["shared"][i]),
                  int(out["sketch"][i]), int(out["mean_pos"][i])))
 

@@ -12,7 +12,7 @@ from fastani_tpu.utils import refmodel
 def make_params(**kw):
     p = Parameters(**kw)
     p.window_size = kw.get("window_size", 24)
-    return p
+    return p.finalize()
 
 
 def mutate(rng, seq, rate):

@@ -67,7 +67,7 @@ def test_sharded_step_matches_host(world):
                             jnp.asarray(sidx.occ_sid), jnp.asarray(sidx.occ_wpos),
                             jnp.asarray(sidx.mi_hash), jnp.asarray(sidx.mi_sid),
                             jnp.asarray(sidx.mi_wpos), jnp.asarray(sidx.seq_start),
-                            jnp.asarray(sidx.genome_of_seq), min_hits, gate, ident2d)
+                            jnp.asarray(sidx.genome_of_seq), jnp.asarray(sidx.n_occ), min_hits, gate, ident2d)
     sum_ident = np.asarray(sum_ident)   # (n_r, G)
     count = np.asarray(count)
 
