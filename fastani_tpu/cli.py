@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loadIndex", dest="loadIndex", default="",
                    help="restore a persisted reference index instead of "
                         "sketching (reference file list comes from the index)")
+    p.add_argument("--profile", dest="profile", default="",
+                   help="write a jax.profiler trace of the mapping phase "
+                        "to this directory (jax backend)")
     return p
 
 
@@ -101,6 +104,7 @@ def main(argv=None) -> int:
         out_file_name=args.output,
         save_index=args.saveIndex,
         load_index=args.loadIndex,
+        profile_dir=args.profile,
         ref_sequences=([args.ref] if args.ref
                        else parse_file_list(args.refList) if args.refList
                        else []),

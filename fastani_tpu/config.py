@@ -52,6 +52,13 @@ class Parameters:
     save_index: str = ""                 # write the built index here (.npz)
     load_index: str = ""                 # skip the build, restore from here
 
+    # ---- tracing/profiling (reference: ENABLE_TIME_PROFILE_L1_L2 compile
+    # switch + coarse skch::Time phase timers, map_parameters.hpp:12-14,
+    # core_genome_identity.cpp:62-105).  When set, a jax.profiler trace of
+    # the mapping phase is written here (view with tensorboard/xprof), and
+    # per-phase timings are always logged. ----
+    profile_dir: str = ""
+
     # ---- TPU engine capacities (padding caps for ragged data; overflow falls
     # back to the exact host model, never silently truncates).  sketch_cap
     # and l2_entry_cap default to None = auto-sized from (frag_len, window)

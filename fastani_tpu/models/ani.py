@@ -44,19 +44,41 @@ def compute_cgi(
     query_file_no: int,
     total_query_fragments: int,
 ) -> Tuple[List[CGIResult], List[VisualRow]]:
+    """computeCoreIdentity.hpp:166-298 over Mapping records (host path)."""
+    if not mappings:
+        return [], []
+    return compute_cgi_arrays(
+        np.array([m.ref_seq_id for m in mappings], np.int64),
+        np.array([m.query_seq_id for m in mappings], np.int64),
+        np.array([m.ref_start_pos for m in mappings], np.int64),
+        np.array([m.nuc_identity for m in mappings], np.float32),
+        genome_of_seq, frag_len, query_file_no, total_query_fragments)
+
+
+def compute_cgi_arrays(
+    ref_sid: np.ndarray,
+    qsid: np.ndarray,
+    ref_start: np.ndarray,
+    ident: np.ndarray,
+    genome_of_seq: np.ndarray,
+    frag_len: int,
+    query_file_no: int,
+    total_query_fragments: int,
+    want_visual: bool = True,
+) -> Tuple[List[CGIResult], List[VisualRow]]:
     """computeCoreIdentity.hpp:166-298 as vectorized segment reductions.
 
     Returns per-ref-genome CGI rows plus the 2-way (reciprocal-best)
     mappings in the exact order the reference emits them to the .visual
-    file.
+    file (empty when want_visual=False).
     """
-    if not mappings:
+    if len(ref_sid) == 0:
         return [], []
-    ref_sid = np.array([m.ref_seq_id for m in mappings], np.int64)
-    qsid = np.array([m.query_seq_id for m in mappings], np.int64)
-    ref_start = np.array([m.ref_start_pos for m in mappings], np.int64)
-    ident = np.array([m.nuc_identity for m in mappings], np.float32)
-    qstart = np.zeros(len(mappings), np.int64)  # queryStartPos is always 0
+    ref_sid = np.asarray(ref_sid, np.int64)
+    qsid = np.asarray(qsid, np.int64)
+    ref_start = np.asarray(ref_start, np.int64)
+    ident = np.asarray(ident, np.float32)
+    qstart = np.zeros(len(ref_sid), np.int64)  # queryStartPos is always 0
     gid = genome_of_seq[ref_sid]
     pos_bin = ref_start // (frag_len - 20)  # computeCoreIdentity.hpp:194
 
@@ -82,30 +104,28 @@ def compute_cgi(
         VisualRow(int(gid[i]), int(ref_sid[i]), int(qsid[i]),
                   int(ref_start[i]), int(qstart[i]), ident[i])
         for i in k2
-    ]
+    ] if want_visual else []
 
     # per-genome mean identity: sequential float32 fold in 2-way order
     # (:267-297); k2 is sorted by refSeqId so genome ids are contiguous.
     out: List[CGIResult] = []
     g2 = gid[k2]
     id2 = ident[k2]
-    start = 0
-    n = len(k2)
-    while start < n:
-        end = start
-        g = g2[start]
-        while end < n and g2[end] == g:
-            end += 1
+    # group boundaries vectorized; the fold itself must stay a sequential
+    # float32 accumulation to match the reference bit-for-bit
+    bounds = np.concatenate([[0], np.nonzero(g2[1:] != g2[:-1])[0] + 1,
+                             [len(k2)]])
+    for bi in range(len(bounds) - 1):
+        start, end = int(bounds[bi]), int(bounds[bi + 1])
         acc = np.float32(0.0)
         for v in id2[start:end]:
             acc = np.float32(acc + v)
         count = end - start
         out.append(CGIResult(
             qry_genome=query_file_no,
-            ref_genome=int(g),
+            ref_genome=int(g2[start]),
             count_seq=count,
             total_query_fragments=total_query_fragments,
             identity=np.float32(acc / np.float32(count)),
         ))
-        start = end
     return out, visual

@@ -60,10 +60,20 @@ class MapperConfig:
     unit_cap: int        # max L2 work units per fragment batch
     unit_chunk: int      # units processed per lax.map step
     freq_threshold: int
+    # static (seqId, wpos) -> uint32 packing width for the L1 hit sort;
+    # None when the index ranges don't fit 32 bits (falls back to lexsort)
+    wpos_bits: "int | None" = None
 
     @classmethod
     def from_params(cls, params, freq_threshold: int, unit_factor: int = 4,
-                    unit_chunk: int = 16) -> "MapperConfig":
+                    unit_chunk: int = 16, index=None) -> "MapperConfig":
+        wpos_bits = None
+        if index is not None and len(index.metadata):
+            max_len = max(c.length for c in index.metadata)
+            n_seqs = len(index.metadata)
+            bits = max(int(max_len).bit_length(), 1)
+            if ((n_seqs - 1) << bits) + max_len < 0xFFFFFFFF:
+                wpos_bits = bits
         return cls(
             kmer_size=params.kmer_size,
             window_size=params.window_size,
@@ -75,6 +85,7 @@ class MapperConfig:
             unit_cap=params.frag_batch * unit_factor,
             unit_chunk=unit_chunk,
             freq_threshold=freq_threshold,
+            wpos_bits=wpos_bits,
         )
 
 
@@ -95,7 +106,8 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
     qh, s, sk_over = mapping.sketch_fragments(xp, frags, k, w, cfg.sketch_cap)
     l1 = mapping.l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos,
                                min_hits_lut, cfg.freq_threshold, l,
-                               cfg.hits_cap, cfg.cand_cap, n_occ=n_occ)
+                               cfg.hits_cap, cfg.cand_cap, n_occ=n_occ,
+                               wpos_bits=cfg.wpos_bits)
 
     # flatten + compact the candidate grid to U_cap units on device
     u_frag = jnp.repeat(jnp.arange(F, dtype=jnp.int32), cfg.cand_cap)
@@ -222,7 +234,8 @@ class JitMapper:
         self.params = params
         self.index = index
         self.cfg = MapperConfig.from_params(params, index.freq_threshold,
-                                            unit_factor, unit_chunk)
+                                            unit_factor, unit_chunk,
+                                            index=index)
         k = params.kmer_size
         s_max = max(params.sketch_cap, 1)
         self._min_hits = jnp.asarray(stats.min_hits_lut(k, params.percentage_identity, s_max))

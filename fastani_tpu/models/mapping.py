@@ -172,12 +172,17 @@ _register_pytree(L1Result)
 
 def l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos, min_hits_lut,
                   freq_threshold: int, frag_len: int, hits_cap: int, cand_cap: int,
-                  n_occ=None):
+                  n_occ=None, wpos_bits: Optional[int] = None):
     """Batched L1 stage.  qh (F, scap) sorted unique hashes (UMAX padded).
 
     n_occ (traced scalar, optional): true entry count when occ arrays are
     padded (pads hold UMAX hashes; the clamp keeps a genuine UMAX query
     hash from matching them).
+
+    wpos_bits (static, optional): when every contig position fits in
+    wpos_bits and (max_seqid << wpos_bits) < 2^32 - 1, the (seqId, wpos)
+    hit sort is a single packed-uint32 key sort instead of a 2-pass
+    lexsort (~2x cheaper; the caller decides from index metadata).
     """
     F, scap = qh.shape
     M = occ_hash.shape[0]
@@ -224,10 +229,21 @@ def l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos, min_hits_lut,
     hit_wp = xp.where(hvalid, occ_wpos[src], _PINF)
 
     # sort hits per fragment by (seqId, wpos) — computeMap.hpp:320
-    order = xp.lexsort((hit_wp, hit_sid), axis=-1)
-    hit_sid = take_along(xp, hit_sid, order, -1)
-    hit_wp = take_along(xp, hit_wp, order, -1)
-    hvalid = take_along(xp, hvalid, order, -1)
+    if wpos_bits is not None:
+        # single packed-key sort; invalid slots pushed to UMAX
+        mask = xp.uint32((1 << wpos_bits) - 1)
+        key = ((hit_sid.astype(xp.uint32) << wpos_bits)
+               | (hit_wp.astype(xp.uint32) & mask))
+        key = xp.where(hvalid, key, xp.asarray(_UMAX))
+        key = xp.sort(key, axis=-1)
+        hvalid = key != _UMAX
+        hit_sid = xp.where(hvalid, (key >> wpos_bits).astype(xp.int32), _PINF)
+        hit_wp = xp.where(hvalid, (key & mask).astype(xp.int32), _PINF)
+    else:
+        order = xp.lexsort((hit_wp, hit_sid), axis=-1)
+        hit_sid = take_along(xp, hit_sid, order, -1)
+        hit_wp = take_along(xp, hit_wp, order, -1)
+        hvalid = take_along(xp, hvalid, order, -1)
 
     # minimum hits per fragment (>=1; computeMap.hpp:301,316-317)
     m = min_hits_lut[xp.clip(s, 0, min_hits_lut.shape[0] - 1)]
@@ -436,23 +452,32 @@ def l2_map_units(xp, qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
     if is_jax(xp):
         # ---- all per-event rank queries as one-hot matmuls (MXU path):
         # W = onehot(le) - onehot(lb) over table columns; D = W @ M1 etc.
-        # Table values < 2^24, exact in f32.
+        # v5e's MXU is bf16-native (f32 matmuls decompose into 3-6 passes),
+        # so each int table is split into two bf16 planes (hi = v>>8 <= 3,
+        # lo = v&255 <= 255, both bf16-exact); one-hot diffs are exact in
+        # bf16 and accumulation runs in f32, so results are integers.
         col = xp.arange(ncap + 1, dtype=xp.int32)
         w_le = (col[None, None, :] == xp.clip(le, 0, ncap)[:, :, None])
         w_lb = (col[None, None, :] == xp.clip(lb, 0, ncap)[:, :, None])
-        wdiff = w_le.astype(xp.float32) - w_lb.astype(xp.float32)   # (U,T,ncap+1)
+        wdiff = (w_le.astype(xp.bfloat16)
+                 - w_lb.astype(xp.bfloat16))                    # (U,T,ncap+1)
         import jax as _jax
 
         mm = lambda a, b: _jax.lax.dot_general(
             a, b, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=xp.float32)
-        m1f = xp.swapaxes(m1, -1, -2).astype(xp.float32)        # (U,ncap+1,scap)
-        m2f = xp.swapaxes(m2, -1, -2).astype(xp.float32)
-        d_nodup = mm(wdiff, m1f)                                # (U,T,scap)
-        pres_cnt = mm(wdiff, m2f)
+
+        def split_mm(w, tbl):
+            t = xp.swapaxes(tbl, -1, -2)                        # (U,ncap+1,scap)
+            hi = (t >> 8).astype(xp.bfloat16)
+            lo = (t & 0xFF).astype(xp.bfloat16)
+            return mm(w, hi) * 256.0 + mm(w, lo)
+
+        d_nodup = split_mm(wdiff, m1)                           # (U,T,scap)
+        pres_cnt = split_mm(wdiff, m2)
         # dup_j = (# active pairs with pair_jr <= j) via act @ Z
-        z = (pr_jr[:, :, None] <= jrow[None, None, :]).astype(xp.float32)
-        dup = mm(act.astype(xp.float32), z)                     # (U,T,scap)
+        z = (pr_jr[:, :, None] <= jrow[None, None, :]).astype(xp.bfloat16)
+        dup = mm(act.astype(xp.bfloat16), z)                    # (U,T,scap)
         d_j = d_nodup - dup
         present = pres_cnt > 0.5
         contrib = present & (jrow[None, None, :] + d_j < s_u[:, None, None].astype(xp.float32)) \

@@ -120,14 +120,18 @@ def map_query(query_frags: QueryFragments, index: ReferenceIndex,
 
 
 def map_queries_batched(queries: List[QueryFragments], index: ReferenceIndex,
-                        params: Parameters, jit_mapper) -> List[List[Mapping]]:
+                        params: Parameters, jit_mapper) -> List[dict]:
     """Map MANY query genomes in shared full-size device batches.
 
     The compiled map step has fixed (frag_batch,)-shaped cost, so packing
     fragments from consecutive query genomes into one batch makes cost
     scale with total fragments instead of with query count (the reference
     maps queries one at a time — computeMap.hpp:132 — because its cost is
-    per-fragment; ours is per-batch).  Returns one mapping list per query.
+    per-fragment; ours is per-batch).
+
+    Returns one dict per query with vectorized result columns
+    (query_seq_id, ref_seq_id, ref_start_pos, ident) — the Mapping-object
+    path costs more host time than the device mapping itself at scale.
     """
     from fastani_tpu.ops import stats
     from fastani_tpu.utils import refmodel
@@ -142,34 +146,50 @@ def map_queries_batched(queries: List[QueryFragments], index: ReferenceIndex,
     gid_of_row = np.concatenate([q.frag_ids for q in queries]) \
         if queries else np.zeros(0, np.int32)
 
-    out_maps: List[List[Mapping]] = [[] for _ in queries]
+    cols = {k: [] for k in ("qno", "qsid", "sid", "start", "ident")}
     hindex = None
     F = len(all_frags)
     for b0 in range(0, F, B):
         out = jit_mapper(all_frags[b0:b0 + B])
         if len(out["frag"]):
-            ident, upper = stats.identities_for(out["shared"], out["sketch"],
-                                                params.kmer_size)
+            ident, _ = stats.identities_for(out["shared"], out["sketch"],
+                                            params.kmer_size)
             rows = b0 + out["frag"]
-            for i in range(len(out["frag"])):
-                out_maps[qno_of_row[rows[i]]].append(Mapping(
-                    query_seq_id=int(gid_of_row[rows[i]]),
-                    ref_seq_id=int(out["sid"][i]),
-                    ref_start_pos=int(out["mean_pos"][i]),
-                    nuc_identity=ident[i],
-                    nuc_identity_upper=upper[i],
-                    conserved=int(out["shared"][i]),
-                    sketch_size=int(out["sketch"][i]),
-                    query_len=L))
+            cols["qno"].append(qno_of_row[rows])
+            cols["qsid"].append(gid_of_row[rows])
+            cols["sid"].append(out["sid"])
+            cols["start"].append(out["mean_pos"])
+            cols["ident"].append(ident)
         for fb in out["fallback_frags"]:
             if hindex is None:
                 hindex = index.host_view()
             row = b0 + fb
-            out_maps[qno_of_row[row]].extend(refmodel.map_fragment(
-                all_frags[row], hindex, params, int(gid_of_row[row])))
-    # CGI expects mappings grouped by fragment in input order; batching
-    # preserves row order per query already
-    return out_maps
+            ms = refmodel.map_fragment(all_frags[row], hindex, params,
+                                       int(gid_of_row[row]))
+            if ms:
+                cols["qno"].append(np.full(len(ms), qno_of_row[row], np.int32))
+                cols["qsid"].append(np.array([m.query_seq_id for m in ms], np.int64))
+                cols["sid"].append(np.array([m.ref_seq_id for m in ms], np.int64))
+                cols["start"].append(np.array([m.ref_start_pos for m in ms], np.int64))
+                cols["ident"].append(np.array([m.nuc_identity for m in ms], np.float32))
+
+    if cols["qno"]:
+        qno = np.concatenate(cols["qno"])
+        qsid = np.concatenate([np.asarray(a, np.int64) for a in cols["qsid"]])
+        sid = np.concatenate([np.asarray(a, np.int64) for a in cols["sid"]])
+        start = np.concatenate([np.asarray(a, np.int64) for a in cols["start"]])
+        ident = np.concatenate(cols["ident"]).astype(np.float32)
+    else:
+        qno = np.zeros(0, np.int32)
+        qsid = sid = start = np.zeros(0, np.int64)
+        ident = np.zeros(0, np.float32)
+
+    out_list = []
+    for i in range(len(queries)):
+        sel = qno == i
+        out_list.append(dict(query_seq_id=qsid[sel], ref_seq_id=sid[sel],
+                             ref_start_pos=start[sel], ident=ident[sel]))
+    return out_list
 
 
 def run(params: Parameters, backend: str = "numpy",
@@ -218,26 +238,42 @@ def run(params: Parameters, backend: str = "numpy",
             t0 = time.time()
             qfs = [load_query_fragments(q, params)
                    for q in params.query_sequences]
-            maps_per_q = map_queries_batched(qfs, index, params, jit_mapper)
+            import contextlib
+            prof = contextlib.nullcontext()
+            if params.profile_dir:
+                import jax
+
+                prof = jax.profiler.trace(params.profile_dir,
+                                          create_perfetto_trace=True)
+            with prof:
+                maps_per_q = map_queries_batched(qfs, index, params,
+                                                 jit_mapper)
             log(f"INFO, fastani_tpu, mapped {len(qfs)} queries "
                 f"({sum(len(q.frags) for q in qfs)} fragments) in "
                 f"{time.time()-t0:.2f}s")
+            if params.profile_dir:
+                log(f"INFO, fastani_tpu, profiler trace written to "
+                    f"{params.profile_dir}")
         else:
             qfs = None
 
         for qno, qpath in enumerate(params.query_sequences):
             t0 = time.time()
             if qfs is not None:
-                qf, mappings = qfs[qno], maps_per_q[qno]
+                qf, m = qfs[qno], maps_per_q[qno]
+                rows, visual = ani.compute_cgi_arrays(
+                    m["ref_seq_id"], m["query_seq_id"], m["ref_start_pos"],
+                    m["ident"], genome_of_seq, params.frag_len, qno,
+                    qf.total_fragments, want_visual=params.visualize)
             else:
                 qf = load_query_fragments(qpath, params)
                 mappings = map_query(qf, index, params, backend=backend,
                                      jit_mapper=jit_mapper)
                 log(f"INFO, fastani_tpu, mapped query {qno + 1} "
                     f"({qf.total_fragments} fragments) in {time.time()-t0:.2f}s")
-            rows, visual = ani.compute_cgi(mappings, genome_of_seq,
-                                           params.frag_len, qno,
-                                           qf.total_fragments)
+                rows, visual = ani.compute_cgi(mappings, genome_of_seq,
+                                               params.frag_len, qno,
+                                               qf.total_fragments)
             final.extend(rows)
             if params.visualize and out_path:
                 output.write_visual(visual, params, qno, qf.vis_offsets,
