@@ -71,8 +71,10 @@ class MapperConfig:
         if index is not None and len(index.metadata):
             max_len = max(c.length for c in index.metadata)
             n_seqs = len(index.metadata)
-            bits = max(int(max_len).bit_length(), 1)
-            if ((n_seqs - 1) << bits) + max_len < 0xFFFFFFFF:
+            # headroom for position+span queries (sw0+C, end+fragLen) so
+            # packed searches never saturate
+            bits = max(int(max_len + 2 * params.frag_len).bit_length(), 1)
+            if ((n_seqs - 1) << bits) + ((1 << bits) - 1) < 0xFFFFFFFF:
                 wpos_bits = bits
         return cls(
             kmer_size=params.kmer_size,
@@ -91,7 +93,7 @@ class MapperConfig:
 
 def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
              mi_hash, mi_sid, mi_wpos, seq_start, min_hits_lut, gate_lut,
-             n_occ=None):
+             n_occ=None, occ_packed=None, mi_packed=None):
     """One fragment batch against one index shard.  Pure function of arrays.
 
     Index arrays may be padded (pow-2 bucketed for compile reuse); n_occ is
@@ -107,7 +109,7 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
     l1 = mapping.l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos,
                                min_hits_lut, cfg.freq_threshold, l,
                                cfg.hits_cap, cfg.cand_cap, n_occ=n_occ,
-                               wpos_bits=cfg.wpos_bits)
+                               wpos_bits=cfg.wpos_bits, occ_packed=occ_packed)
 
     # flatten + compact the candidate grid to U_cap units on device
     u_frag = jnp.repeat(jnp.arange(F, dtype=jnp.int32), cfg.cand_cap)
@@ -124,6 +126,28 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
     u_valid = u_valid[take]
     unit_overflow = u_valid.sum() < l1.valid.sum()  # units dropped
 
+    # batch-level window location: with packed (seqId,wpos) keys all three
+    # positional searches run as ONE sort-based searchsorted over the whole
+    # unit list, instead of 3 x 31 sequential binary-search gather rounds
+    # per L2 chunk (the dominant L2 cost on this TPU)
+    u_b0 = u_e0 = u_eL = None
+    if cfg.wpos_bits is not None and mi_packed is not None:
+        bits = cfg.wpos_bits
+        C = l - (cfg.window_size - 1) - (k - 1)
+        sid_m = jnp.where(u_valid, u_sid, 0).astype(jnp.uint32)
+        key = lambda pos: (sid_m << bits) | pos.astype(jnp.uint32)
+        u_b0 = jnp.searchsorted(mi_packed, key(u_start), side="left",
+                                method="sort").astype(jnp.int32)
+        u_b0 = jnp.minimum(u_b0, n_occ)
+        Mp_mi = mi_wpos.shape[0]
+        sw0 = jnp.where(u_valid & (u_b0 < n_occ),
+                        mi_wpos[jnp.clip(u_b0, 0, Mp_mi - 1)], 0)
+        q2 = jnp.concatenate([key(sw0 + C), key(u_end + l)])
+        r2 = jnp.searchsorted(mi_packed, q2, side="left",
+                              method="sort").astype(jnp.int32)
+        r2 = jnp.minimum(r2, n_occ)
+        u_e0, u_eL = r2[: u_b0.shape[0]], r2[u_b0.shape[0]:]
+
     # L2 in fixed-size chunks driven by a while_loop that stops after the
     # last chunk containing a VALID unit — units were compacted valid-first
     # above, so work scales with real candidates, not with unit_cap (which
@@ -139,6 +163,10 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
     cu_start = pad_to(u_start)
     cu_end = pad_to(u_end)
     cu_valid = pad_to(u_valid.astype(jnp.int32)) > 0
+    if u_b0 is not None:
+        cu_b0 = pad_to(u_b0)
+        cu_e0 = pad_to(u_e0)
+        cu_eL = pad_to(u_eL)
 
     n_live = -(-u_valid.sum().astype(jnp.int32) // cfg.unit_chunk)
     U_pad = n_chunks * cfg.unit_chunk
@@ -152,10 +180,11 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
         i, (o_sh, o_mp, o_va, o_ov) = state
         off = i * cfg.unit_chunk
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, off, cfg.unit_chunk)
+        be = (sl(cu_b0), sl(cu_e0), sl(cu_eL)) if u_b0 is not None else None
         r = mapping.l2_map_units(jnp, qh, s, sl(cu_frag), sl(cu_sid),
                                  sl(cu_start), sl(cu_end), sl(cu_valid),
                                  mi_hash, mi_sid, mi_wpos, seq_start,
-                                 l, k, w, cfg.l2_entry_cap)
+                                 l, k, w, cfg.l2_entry_cap, begin_end=be)
         upd = lambda o, v: jax.lax.dynamic_update_slice_in_dim(o, v, off, 0)
         return (i + 1, (upd(o_sh, r.shared), upd(o_mp, r.mean_pos),
                         upd(o_va, r.valid), upd(o_ov, r.overflow)))
@@ -183,7 +212,7 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
 
 def map_step_packed(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
                     mi_hash, mi_sid, mi_wpos, seq_start, min_hits_lut,
-                    gate_lut, n_occ=None):
+                    gate_lut, n_occ=None, occ_packed=None, mi_packed=None):
     """map_step + device-side compaction for host consumption.
 
     The session TPU's device->host link runs at ~1 MB/s with ~30 ms
@@ -193,7 +222,8 @@ def map_step_packed(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
     fetched when the counts flags say so (rare).
     """
     out = map_step(cfg, frags, occ_hash, occ_sid, occ_wpos, mi_hash, mi_sid,
-                   mi_wpos, seq_start, min_hits_lut, gate_lut, n_occ=n_occ)
+                   mi_wpos, seq_start, min_hits_lut, gate_lut, n_occ=n_occ,
+                   occ_packed=occ_packed, mi_packed=mi_packed)
     keep = out["valid"]
     corder = jnp.argsort(jnp.where(keep, 0, 1).astype(jnp.int32), stable=True)
     packed = jnp.stack([
@@ -244,9 +274,12 @@ class JitMapper:
         # pow-2 bucket the index arrays so one compiled executable serves
         # any index size (shape changes would otherwise force a ~3 min
         # XLA:TPU recompile per workload).  Device-built indexes arrive
-        # pre-padded (possibly beyond pow2(M)); keep their shape.
+        # pre-padded (possibly beyond pow2(M)); keep their shape.  The
+        # l2_entry_cap margin lets L2 window reads be contiguous
+        # dynamic-slices (never clipped at the tail).
         M = index.num_entries
-        Mp = max(128, 1 << max(M - 1, 1).bit_length(),
+        Mp = max(128,
+                 1 << max(M + params.l2_entry_cap - 1, 1).bit_length(),
                  len(index.occ_hash))
         _PINF = np.int32(2**30)
 
@@ -267,6 +300,23 @@ class JitMapper:
         self._mi_hash = pad(index.mi_hash, 0xFFFFFFFF, np.uint32)
         self._mi_sid = pad(index.mi_seqid, _PINF, np.int32)
         self._mi_wpos = pad(index.mi_wpos, _PINF, np.int32)
+        # packed (seqId << bits | wpos) views: L1 gathers sid+wpos in one
+        # pass; L2 locates all unit windows with batch-level sort-based
+        # searches instead of per-chunk binary-search gather rounds
+        if self.cfg.wpos_bits is not None:
+            bits = self.cfg.wpos_bits
+
+            @jax.jit
+            def _pack(sid, wpos):
+                idx = jnp.arange(sid.shape[0], dtype=jnp.int32)
+                p = (sid.astype(jnp.uint32) << bits) | wpos.astype(jnp.uint32)
+                return jnp.where(idx < self._n_occ, p, jnp.uint32(0xFFFFFFFF))
+
+            self._occ_packed = _pack(self._occ_sid, self._occ_wpos)
+            self._mi_packed = _pack(self._mi_sid, self._mi_wpos)
+        else:
+            self._occ_packed = self._occ_hash  # unused placeholder
+            self._mi_packed = self._mi_hash
         S = len(index.seq_start)
         Sp = max(8, 1 << max(S - 1, 1).bit_length())
         ss = np.full(Sp, index.seq_start[-1] if S else 0, np.int64)
@@ -281,10 +331,13 @@ class JitMapper:
             padded = np.zeros((B, frags_u8.shape[1]), np.uint8)
             padded[:F] = frags_u8
             frags_u8 = padded
+        packed = (self.cfg.wpos_bits is not None)
         out = self._fn(jnp.asarray(frags_u8), self._occ_hash, self._occ_sid,
                        self._occ_wpos, self._mi_hash, self._mi_sid,
                        self._mi_wpos, self._seq_start, self._min_hits,
-                       self._gate, self._n_occ)
+                       self._gate, self._n_occ,
+                       self._occ_packed if packed else None,
+                       self._mi_packed if packed else None)
         counts = np.asarray(out["counts"])
         n = int(counts[0])
         packed = (np.asarray(out["packed"][:, :n]) if n

@@ -172,7 +172,7 @@ _register_pytree(L1Result)
 
 def l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos, min_hits_lut,
                   freq_threshold: int, frag_len: int, hits_cap: int, cand_cap: int,
-                  n_occ=None, wpos_bits: Optional[int] = None):
+                  n_occ=None, wpos_bits: Optional[int] = None, occ_packed=None):
     """Batched L1 stage.  qh (F, scap) sorted unique hashes (UMAX padded).
 
     n_occ (traced scalar, optional): true entry count when occ arrays are
@@ -225,21 +225,25 @@ def l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos, min_hits_lut,
     src = hidx[None, :] + xp.cumsum(arr, axis=-1)
     hvalid = hidx[None, :] < xp.minimum(total, hits_cap)[:, None]
     src = xp.clip(src, 0, max(M - 1, 0))
-    hit_sid = xp.where(hvalid, occ_sid[src], _PINF)
-    hit_wp = xp.where(hvalid, occ_wpos[src], _PINF)
 
-    # sort hits per fragment by (seqId, wpos) — computeMap.hpp:320
+    # gather hit coordinates + sort by (seqId, wpos) — computeMap.hpp:320
     if wpos_bits is not None:
-        # single packed-key sort; invalid slots pushed to UMAX
+        # packed path: ONE gather of the pre-packed (sid<<bits|wpos) table,
+        # then a single-key sort; invalid slots pushed to UMAX
         mask = xp.uint32((1 << wpos_bits) - 1)
-        key = ((hit_sid.astype(xp.uint32) << wpos_bits)
-               | (hit_wp.astype(xp.uint32) & mask))
-        key = xp.where(hvalid, key, xp.asarray(_UMAX))
+        if occ_packed is not None:
+            key = xp.where(hvalid, occ_packed[src], xp.asarray(_UMAX))
+        else:
+            key = ((occ_sid[src].astype(xp.uint32) << wpos_bits)
+                   | (occ_wpos[src].astype(xp.uint32) & mask))
+            key = xp.where(hvalid, key, xp.asarray(_UMAX))
         key = xp.sort(key, axis=-1)
         hvalid = key != _UMAX
         hit_sid = xp.where(hvalid, (key >> wpos_bits).astype(xp.int32), _PINF)
         hit_wp = xp.where(hvalid, (key & mask).astype(xp.int32), _PINF)
     else:
+        hit_sid = xp.where(hvalid, occ_sid[src], _PINF)
+        hit_wp = xp.where(hvalid, occ_wpos[src], _PINF)
         order = xp.lexsort((hit_wp, hit_sid), axis=-1)
         hit_sid = take_along(xp, hit_sid, order, -1)
         hit_wp = take_along(xp, hit_wp, order, -1)
@@ -333,7 +337,7 @@ def _searchsorted_pairs(xp, a_sid, a_wpos, q_sid, q_wpos):
 def l2_map_units(xp, qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
                  mi_hash, mi_sid, mi_wpos, seq_start,
                  frag_len: int, k: int, w: int, ncap: int,
-                 pair_cap: int = 128):
+                 pair_cap: int = 128, begin_end=None):
     """Batched L2 over work units.
 
     qh (F, scap), s (F,); unit arrays (U,): fragment id, candidate contig /
@@ -357,20 +361,37 @@ def l2_map_units(xp, qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
     C = frag_len - (w - 1) - (k - 1)  # countMinimizerWindows, computeMap.hpp:428
 
     sid = xp.where(u_valid, u_sid, 0)
-    b0 = _searchsorted_pairs(xp, mi_sid, mi_wpos, sid, u_start)
-    b0c = xp.clip(b0, 0, max(M - 1, 0))
-    sw0 = xp.where(u_valid & (b0 < M), mi_wpos[b0c], 0)
-    e0 = _searchsorted_pairs(xp, mi_sid, mi_wpos, sid, sw0 + C)
-    eL = _searchsorted_pairs(xp, mi_sid, mi_wpos, sid, u_end + frag_len)
-    overflow = u_valid & ((eL - b0) > ncap)
-
-    # local entry window [b0, b0+ncap)
     offs = xp.arange(ncap, dtype=xp.int32)
-    gidx = b0[:, None] + offs[None, :]
-    gc = xp.clip(gidx, 0, max(M - 1, 0))
-    in_contig = (gidx < M) & (mi_sid[gc] == sid[:, None])
-    lh = xp.where(in_contig, mi_hash[gc], xp.asarray(_UMAX))
-    lp = xp.where(in_contig, mi_wpos[gc], _PINF).astype(xp.int32)
+    if begin_end is not None:
+        # window bounds precomputed at the batch level (packed-key sorted
+        # searches); entries read as contiguous slices — the caller
+        # guarantees ncap of sentinel padding past the last entry
+        b0, e0, eL = begin_end
+        import jax as _jax
+
+        start = xp.clip(b0, 0, M - ncap)
+        take_slice = lambda arr: _jax.vmap(
+            lambda st: _jax.lax.dynamic_slice(arr, (st,), (ncap,)))(start)
+        sid_w = take_slice(mi_sid)
+        in_contig = sid_w == sid[:, None]
+        lh = xp.where(in_contig, take_slice(mi_hash), xp.asarray(_UMAX))
+        lp = xp.where(in_contig, take_slice(mi_wpos), _PINF).astype(xp.int32)
+        sw0 = xp.where(in_contig[:, 0], lp[:, 0], 0)
+        gidx = b0[:, None] + offs[None, :]
+    else:
+        b0 = _searchsorted_pairs(xp, mi_sid, mi_wpos, sid, u_start)
+        b0c = xp.clip(b0, 0, max(M - 1, 0))
+        sw0 = xp.where(u_valid & (b0 < M), mi_wpos[b0c], 0)
+        e0 = _searchsorted_pairs(xp, mi_sid, mi_wpos, sid, sw0 + C)
+        eL = _searchsorted_pairs(xp, mi_sid, mi_wpos, sid, u_end + frag_len)
+
+        # local entry window [b0, b0+ncap)
+        gidx = b0[:, None] + offs[None, :]
+        gc = xp.clip(gidx, 0, max(M - 1, 0))
+        in_contig = (gidx < M) & (mi_sid[gc] == sid[:, None])
+        lh = xp.where(in_contig, mi_hash[gc], xp.asarray(_UMAX))
+        lp = xp.where(in_contig, mi_wpos[gc], _PINF).astype(xp.int32)
+    overflow = u_valid & ((eL - b0) > ncap)
 
     e0_loc = xp.clip(e0 - b0, 0, ncap)
     eL_loc = xp.clip(eL - b0, 0, ncap)
