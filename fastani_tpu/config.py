@@ -97,6 +97,11 @@ class Parameters:
             # expected unique minimizers per fragment ~ 2L/(w+1); 1.6x margin
             self.sketch_cap = _round128(int(3.2 * self.frag_len / (w + 1)))
         if self.l2_entry_cap is None:
-            # ref entries per L2 unit span (<= 2 fragment lengths of index)
+            # ref entries per L2 unit span (a clean mapping spans ~2 fragment
+            # lengths => ~480 entries at density 2/(w+1) for the defaults).
+            # Overflowing units recompute with the SCALAR host model, which
+            # costs ~1000x a device unit — so the cap carries real headroom;
+            # 4.3x density (=512) was measured to stall whole runs on
+            # overflow stampedes.
             self.l2_entry_cap = _round128(int(6.4 * self.frag_len / (w + 1)))
         return self
