@@ -74,6 +74,34 @@ def _chunk_jit(k: int, w: int, chunk: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _chunk_batch_jit(k: int, w: int, chunk: int):
+    """Vmapped A+B over a batch of whole contigs (each <= chunk bases).
+
+    One device dispatch winnows the whole batch — per-contig calls are
+    round-trip-bound on the tunneled TPU (~4 round-trips each)."""
+    import jax
+    import jax.numpy as jnp
+
+    R = chunk // _ROW
+
+    def one(seq, true_len):
+        emit, h, wp, _, _ = minimizer.winnow_chunk_kernel(
+            seq, jnp.int32(0), jnp.int32(-2), jnp.bool_(False), true_len, k, w)
+        e2 = emit.reshape(R, _ROW)
+        h2 = h.reshape(R, _ROW)
+        w2 = wp.reshape(R, _ROW)
+        order = jnp.argsort(jnp.where(e2, 0, 1).astype(jnp.int32), axis=1,
+                            stable=True)[:, :_CAP_R]
+        row_cnt = e2.sum(axis=1).astype(jnp.int32)
+        overflow = (row_cnt > _CAP_R).any()
+        hr = jnp.take_along_axis(h2, order, axis=1)
+        wr = jnp.take_along_axis(w2, order, axis=1)
+        return hr, wr, row_cnt, overflow
+
+    return jax.jit(jax.vmap(one))
+
+
+@functools.lru_cache(maxsize=None)
 def _assemble_jit(p_rows: int, out_size: int):
     """Program C+D: scatter all row pieces into packed arrays, then
     hash-stable sort for the occurrence order.
@@ -156,61 +184,75 @@ def build_device(cls, params: Parameters,
 
     files = list(ref_files if ref_files is not None else params.ref_sequences)
     k, w = params.kmer_size, params.window_size
+    halo = w - 1
+    width = halo + _CHUNK + k - 1
+    _BATCH = 16           # whole contigs winnowed per device dispatch
     metadata: List[ContigInfo] = []
     seq_by_file: List[int] = []
-    pieces = []              # (h_rows, wp_rows, row_cnt) device triples
-    piece_seq: List[int] = []    # contig id per piece
-    piece_of_seq: List[List[int]] = []  # piece indices per contig
-    host_seqs: List[Optional[np.ndarray]] = []  # kept for overflow fallback
-    overflows = []
+    pieces = []           # (h_rows (Pi,CAP_R), wp_rows, row_cnt (Pi,)) triples
+    piece_sid_rows: List[np.ndarray] = []  # contig id per piece ROW
+    overflow_dev = []     # device bool scalars/vectors, fetched once
+    pending: List[tuple] = []   # (sid, uppercased seq) awaiting a batch
+    R = _CHUNK // _ROW
+    batch_fn = _chunk_batch_jit(k, w, _CHUNK)
+
+    def flush():
+        if not pending:
+            return
+        import jax.numpy as jnp
+
+        nb = len(pending)
+        nbp = 1 if nb == 1 else 1 << (nb - 1).bit_length()
+        buf = np.zeros((nbp, width), np.uint8)
+        lens = np.zeros(nbp, np.int32)
+        sids = np.zeros(nbp, np.int32)
+        for i, (sid0, sq) in enumerate(pending):
+            buf[i, halo:halo + len(sq)] = sq
+            lens[i] = len(sq)
+            sids[i] = sid0
+        hr, wr, cnt, over = batch_fn(jnp.asarray(buf), jnp.asarray(lens))
+        pieces.append((hr.reshape(-1, _CAP_R), wr.reshape(-1, _CAP_R),
+                       cnt.reshape(-1)))
+        piece_sid_rows.append(np.repeat(sids, R))
+        overflow_dev.append(over.any())
+        pending.clear()
+
     seq_counter = 0
     for path in files:
         for name, seq in fasta.read_sequences(path):
             metadata.append(ContigInfo(name, len(seq)))
-            ps, over = winnow_contig_device(seq, k, w)
-            piece_of_seq.append(list(range(len(pieces), len(pieces) + len(ps))))
-            for p in ps:
-                pieces.append(p)
-                piece_seq.append(seq_counter)
-            host_seqs.append(seq)
-            overflows.append(over)
+            L = len(seq)
+            if not (L < w or L < k):
+                if L <= _CHUNK:
+                    pending.append((seq_counter,
+                                    hashing.upper_np(np.asarray(seq, np.uint8))))
+                    if len(pending) >= _BATCH:
+                        flush()
+                else:
+                    flush()  # preserve (seqId, wpos) piece order
+                    ps, over = winnow_contig_device(seq, k, w)
+                    for hr, wr, cnt in ps:
+                        pieces.append((hr, wr, cnt))
+                        piece_sid_rows.append(
+                            np.full(int(hr.shape[0]), seq_counter, np.int32))
+                    if over is not None:
+                        overflow_dev.append(over)
             seq_counter += 1
         seq_by_file.append(seq_counter)
+    flush()
 
-    # one D2H: per-contig overflow flags (rare; host fallback is exact)
-    over_np = np.array([bool(o) if o is not None else False
-                        for o in overflows])
-    for sid in np.nonzero(over_np)[0]:
-        h, wp = minimizer.winnow_sequence_np(host_seqs[sid], k, w)
-        rows = -(-len(h) // _CAP_R)
-        hr = np.full((max(rows, 1), _CAP_R), _UMAX, np.uint32)
-        wr = np.full((max(rows, 1), _CAP_R), _PINF, np.int32)
-        cnt = np.zeros(max(rows, 1), np.int32)
-        for r in range(rows):
-            part_h = h[r * _CAP_R:(r + 1) * _CAP_R]
-            hr[r, :len(part_h)] = part_h
-            wr[r, :len(part_h)] = wp[r * _CAP_R:(r + 1) * _CAP_R]
-            cnt[r] = len(part_h)
-        piece = (jnp.asarray(hr), jnp.asarray(wr), jnp.asarray(cnt))
-        # replace this contig's device pieces with the exact host ones
-        old = piece_of_seq[sid]
-        if old:
-            pieces[old[0]] = piece
-            for dead in old[1:]:
-                z = pieces[dead]
-                pieces[dead] = (z[0], z[1], jnp.zeros_like(z[2]))
-        else:
-            pieces.append(piece)
-            piece_seq.append(int(sid))
+    # ONE overflow check for the whole build; a per-row cap overflow means
+    # degenerate repeat input — rebuild exactly on the host (rare, and the
+    # repeat sanity check would reject such references anyway)
+    import jax.numpy as jnp
+    if overflow_dev and bool(jnp.stack(overflow_dev).any()):
+        return cls.build(params, ref_files)
 
-    R = _CHUNK // _ROW
     if pieces:
         h_stack = jnp.concatenate([p[0] for p in pieces])          # (P*, CAP_R)
         wp_stack = jnp.concatenate([p[1] for p in pieces])
         cnt_stack = jnp.concatenate([p[2] for p in pieces])
-        sid_np = np.concatenate([
-            np.full(int(p[0].shape[0]), s, np.int32)
-            for p, s in zip(pieces, piece_seq)])
+        sid_np = np.concatenate(piece_sid_rows)
     else:
         h_stack = jnp.full((1, _CAP_R), _UMAX, jnp.uint32)
         wp_stack = jnp.full((1, _CAP_R), _PINF, jnp.int32)
