@@ -150,6 +150,14 @@ def main():
     total = t_map + t_index
     pairs_per_sec = n_pairs / total
 
+    # secondary metric (BASELINE.json): minimizer hashing throughput,
+    # measured steady-state on one full batched winnow dispatch
+    gbps = None
+    try:
+        gbps = measure_hashing_gbps()
+    except Exception as e:
+        print(f"hashing metric failed: {e}", file=sys.stderr)
+
     result = {
         "metric": "genome-pairs/sec (all-vs-all, %dx%d @ %.1f Mbp)" % (
             args.genomes, args.genomes, args.size / 1e6),
@@ -161,10 +169,37 @@ def main():
             "index_seconds": round(t_index, 2),
             "baseline_seconds": round(baseline_t, 2) if baseline_t else None,
             "ani_rows": len(rows),
+            "hashing_gbp_per_sec": round(gbps, 3) if gbps else None,
             "backend": _backend_name(),
         },
     }
     print(json.dumps(result))
+
+
+def measure_hashing_gbps(n_contigs: int = 16, reps: int = 3) -> float:
+    """Steady-state minimizer extraction (murmur3 fwd+rc + winnow +
+    compaction) throughput in Gbp/s on one batched device dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastani_tpu.index import device_build as db
+
+    k, w = 16, 24
+    halo = w - 1
+    width = halo + db._CHUNK + k - 1
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    buf = np.zeros((n_contigs, width), np.uint8)
+    buf[:, halo:halo + db._CHUNK] = bases[
+        rng.integers(0, 4, (n_contigs, db._CHUNK))]
+    lens = np.full(n_contigs, db._CHUNK, np.int32)
+    fn = db._chunk_batch_jit(k, w, db._CHUNK)
+    out = jax.block_until_ready(fn(jnp.asarray(buf), jnp.asarray(lens)))
+    t0 = time.time()
+    for _ in range(reps):
+        out = jax.block_until_ready(fn(jnp.asarray(buf), jnp.asarray(lens)))
+    dt = (time.time() - t0) / reps
+    return n_contigs * db._CHUNK / dt / 1e9
 
 
 def _backend_name():
