@@ -265,41 +265,46 @@ def l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos, min_hits_lut,
     cand_start = xp.maximum(0, wp2 - frag_len + 1)
     cand_end = hit_wp
 
-    # compact candidates (stable), then merge chains (computeMap.hpp:338-350)
-    corder = xp.lexsort((xp.where(cand_valid, 0, 1).astype(xp.int32),), axis=-1)
-    csid = take_along(xp, hit_sid, corder, -1)
-    cstart = take_along(xp, cand_start, corder, -1)
-    cend = take_along(xp, cand_end, corder, -1)
-    cvalid = take_along(xp, cand_valid, corder, -1)
-    prev_sid = xp.concatenate([xp.full((F, 1), -1, xp.int32), csid[:, :-1].astype(xp.int32)], axis=-1)
-    prev_end = xp.concatenate([xp.full((F, 1), -_PINF, xp.int32), cend[:, :-1].astype(xp.int32)], axis=-1)
-    new_group = cvalid & ((csid != prev_sid) | (cstart > prev_end))
+    # merge chains IN PLACE (computeMap.hpp:338-350): candidates inherit the
+    # hit sort's (seqId, wpos) order with invalid rows interleaved, so the
+    # previous VALID candidate's (sid, end) comes from last-event
+    # propagation instead of a compaction sort — full-width (F, hits_cap)
+    # argsort + gathers cost ~100 ms/batch on TPU, the doubling shifts ~3 ms
+    last_sid, _ = last_event_value(xp, cand_valid, hit_sid.astype(xp.int32),
+                                   xp.int32(-1))
+    last_end, _ = last_event_value(xp, cand_valid, cand_end.astype(xp.int32),
+                                   xp.int32(-_PINF))
+    prev_sid = xp.concatenate([xp.full((F, 1), -1, xp.int32),
+                               last_sid[:, :-1]], axis=-1)
+    prev_end = xp.concatenate([xp.full((F, 1), -_PINF, xp.int32),
+                               last_end[:, :-1]], axis=-1)
+    new_group = cand_valid & ((hit_sid.astype(xp.int32) != prev_sid)
+                              | (cand_start > prev_end))
     n_groups = new_group.sum(axis=-1).astype(xp.int32)
     overflow = overflow | (n_groups > cand_cap)
 
-    # leaders carry (sid, start); group end = member max = last member's end
-    lorder = xp.lexsort((xp.where(new_group, 0, 1).astype(xp.int32),), axis=-1)
-    lpos = take_along(xp, xp.broadcast_to(pidx, (F, hits_cap)), lorder, -1)[:, :cand_cap]
-    g_sid = take_along(xp, csid, lorder, -1)[:, :cand_cap].astype(xp.int32)
-    g_start = take_along(xp, cstart, lorder, -1)[:, :cand_cap].astype(xp.int32)
+    # group leaders: ONE binary-key argsort to collect their positions, all
+    # gathers at (F, cand_cap) width (not hits_cap)
+    if is_jax(xp):
+        lorder = xp.argsort(xp.where(new_group, 0, 1).astype(xp.int32),
+                            axis=-1, stable=True)[:, :cand_cap]
+    else:
+        lorder = xp.argsort(xp.where(new_group, 0, 1).astype(xp.int32),
+                            axis=-1, kind="stable")[:, :cand_cap]
+    lpos = lorder  # leader positions ARE original hit-row indices
+    g_sid = take_along(xp, hit_sid, lorder, -1).astype(xp.int32)
+    g_start = take_along(xp, cand_start, lorder, -1).astype(xp.int32)
     g_valid = xp.arange(cand_cap, dtype=xp.int32) < xp.minimum(n_groups, cand_cap)[:, None]
     next_lpos = xp.concatenate([lpos[:, 1:], xp.full((F, 1), hits_cap, xp.int32)], axis=-1)
     gcount = xp.arange(cand_cap, dtype=xp.int32)
     next_is_real = (gcount + 1) < n_groups[:, None]
-    # last member of group g sits right before the next leader; for the last
-    # group it is the last valid candidate row
-    last_valid_idx = _last_true_index(xp, cvalid)
-    last_member = xp.where(next_is_real, next_lpos - 1, last_valid_idx[:, None])
-    g_end = take_along(xp, cend, xp.clip(last_member, 0, hits_cap - 1), -1).astype(xp.int32)
+    # group end = end of its last member = last VALID candidate before the
+    # next leader (for the last group: before the end of the row)
+    last_member = xp.where(next_is_real, next_lpos - 1, hits_cap - 1)
+    g_end = take_along(xp, last_end, xp.clip(last_member, 0, hits_cap - 1),
+                       -1).astype(xp.int32)
     g_sid = xp.where(g_valid, g_sid, -1)
     return L1Result(g_sid, g_start, g_end, g_valid, overflow)
-
-
-def _last_true_index(xp, mask):
-    """Per row, index of last True (or -1)."""
-    n = mask.shape[-1]
-    idx = xp.where(mask, xp.arange(n, dtype=xp.int32), -1)
-    return idx.max(axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -396,24 +401,49 @@ def l2_map_units(xp, qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
     e0_loc = xp.clip(e0 - b0, 0, ncap)
     eL_loc = xp.clip(eL - b0, 0, ncap)
 
-    # ---- event enumeration: merge of begin-advance and end-advance values
+    # ---- event enumeration + window bounds from ONE sort: the (begin,end)
+    # staircase is the sorted merge of begin events (pos[i], i>=1) and enter
+    # events (pos[j]-C+1, j>=e0).  Packing the origin bit into the sort-key
+    # LSB makes the same sort yield, via cumulative origin counts,
+    #   lb(t) = #{i>=1 : pos_i <= v_t}            (local begin index)
+    #   le(t) = e0 + #{j>=e0 : pos_j-C+1 <= v_t}  (local end index)
+    # le identity: lp is ascending, so if any masked-j qualifies then every
+    # i<e0 qualifies too (cnt = e0 + masked count); if none, le = e0 — both
+    # equal max(e0, #{all i: pos_i <= v+C-1}) of the direct definition.
+    # Right-count (<=) semantics need each equal-value run to carry the
+    # run's FINAL cumulative count, propagated by a reversed last-event
+    # pass.  Replaces two O(T*ncap) compare-count tensors (~50 ms per L2
+    # chunk on v5e) with O(T log T) shift passes.
     iidx = offs[None, :]
-    va = xp.where(iidx >= 1, lp, _PINF)                       # pos[i], i>=1
+    _pbig = _PINF // 2
+    _BIGK = xp.int32(np.int32(2**31 - 1))
+    va = xp.where(iidx >= 1, lp, _PINF)                        # pos[i], i>=1
     vb = xp.where(iidx >= e0_loc[:, None], lp - C + 1, _PINF)  # pos[j]-C+1
-    events = xp.sort(xp.concatenate([va, vb], axis=-1), axis=-1)  # (U, 2*ncap)
-    v = xp.concatenate([sw0[:, None], events], axis=-1)           # (U, T)
-    T = 2 * ncap + 1
 
-    lp1 = lp[:, 1:]  # pos[i], i>=1 (sorted; padded +inf)
-    if is_jax(xp):
-        # compare-count instead of binary-search gathers (TPU: VPU-friendly)
-        lb = (lp1[:, None, :] <= v[:, :, None]).sum(-1).astype(xp.int32)
-        cnt_le = (lp[:, None, :] <= (v + C - 1)[:, :, None]).sum(-1).astype(xp.int32)
-    else:
-        lb = batched_searchsorted(xp, lp1, v, side="right")  # local begin index
-        cnt_le = batched_searchsorted(xp, lp, v + C - 1, side="right")
-    le = xp.maximum(e0_loc[:, None], cnt_le)             # local end index
-    ev_valid = (v < _PINF // 2) & ((b0[:, None] + le) < eL[:, None]) & u_valid[:, None]
+    def pack(val, origin):
+        return xp.where(val >= _pbig, _BIGK,
+                        (val.astype(xp.int32) << 1) | origin)
+
+    keys = xp.sort(xp.concatenate([pack(va, 0), pack(vb, 1)], axis=-1),
+                   axis=-1)                                    # (U, 2*ncap)
+    ev = xp.where(keys == _BIGK, _PINF, keys >> 1)
+    origin_b = xp.where(keys == _BIGK, 0, keys & 1).astype(xp.int32)
+    ca = xp.cumsum(1 - origin_b, axis=-1).astype(xp.int32)
+    cb = xp.cumsum(origin_b, axis=-1).astype(xp.int32)
+    run_end = xp.concatenate([ev[:, :-1] != ev[:, 1:],
+                              xp.ones((U, 1), bool)], axis=-1)
+    rev = lambda x: x[:, ::-1]
+    ca, _ = last_event_value(xp, rev(run_end), rev(ca), xp.int32(0))
+    cb, _ = last_event_value(xp, rev(run_end), rev(cb), xp.int32(0))
+    ca, cb = rev(ca), rev(cb)
+    # prepend the initial window (v = sw0) with directly-computed counts
+    lb0 = (va <= sw0[:, None]).sum(-1).astype(xp.int32)
+    cb0 = (vb <= sw0[:, None]).sum(-1).astype(xp.int32)
+    v = xp.concatenate([sw0[:, None], ev], axis=-1)            # (U, T)
+    T = 2 * ncap + 1
+    lb = xp.concatenate([lb0[:, None], ca], axis=-1)
+    le = e0_loc[:, None] + xp.concatenate([cb0[:, None], cb], axis=-1)
+    ev_valid = (v < _pbig) & ((b0[:, None] + le) < eL[:, None]) & u_valid[:, None]
     # NB: le is clipped at ncap; windows truncated by ncap are covered by the
     # overflow flag and recomputed exactly on host.
 
