@@ -44,6 +44,29 @@ _UMAX = np.uint32(0xFFFFFFFF)
 _PINF = np.int32(2**30)
 
 
+def _compact_rows(jnp, emit, h, wp, rows: int):
+    """Per-row stable compaction of emitted minimizers to _CAP_R slots.
+
+    Scatter by exclusive-cumsum rank (order-preserving) instead of a
+    stable argsort + gathers — the (R, 1024) argsort costs ~120 ms per
+    16 Mbp batch on v5e, the rank scatter ~1/4 of that.  Un-emitted and
+    over-cap entries land in (or beyond) a discard column.
+    """
+    e2 = emit.reshape(rows, _ROW)
+    h2 = h.reshape(rows, _ROW)
+    w2 = wp.reshape(rows, _ROW)
+    cnt = jnp.cumsum(e2, axis=1)
+    row_cnt = cnt[:, -1].astype(jnp.int32)
+    dst = jnp.where(e2, cnt - 1, _CAP_R)
+    ridx = jnp.arange(rows, dtype=jnp.int32)[:, None]
+    hr = jnp.full((rows, _CAP_R + 1), _UMAX, jnp.uint32).at[
+        ridx, dst].set(h2, mode="drop")[:, :_CAP_R]
+    wr = jnp.full((rows, _CAP_R + 1), _PINF, jnp.int32).at[
+        ridx, dst].set(w2, mode="drop")[:, :_CAP_R]
+    overflow = (row_cnt > _CAP_R).any()
+    return hr, wr, row_cnt, overflow
+
+
 @functools.lru_cache(maxsize=None)
 def _chunk_jit(k: int, w: int, chunk: int):
     """Programs A+B: dense winnow + per-row compaction.
@@ -59,15 +82,7 @@ def _chunk_jit(k: int, w: int, chunk: int):
     def f(seq, base, carry_sel, carry_has, true_len):
         emit, h, wp, ns, nh = minimizer.winnow_chunk_kernel(
             seq, base, carry_sel, carry_has, true_len, k, w)
-        e2 = emit.reshape(R, _ROW)
-        h2 = h.reshape(R, _ROW)
-        w2 = wp.reshape(R, _ROW)
-        order = jnp.argsort(jnp.where(e2, 0, 1).astype(jnp.int32), axis=1,
-                            stable=True)[:, :_CAP_R]
-        row_cnt = e2.sum(axis=1).astype(jnp.int32)
-        overflow = (row_cnt > _CAP_R).any()
-        hr = jnp.take_along_axis(h2, order, axis=1)
-        wr = jnp.take_along_axis(w2, order, axis=1)
+        hr, wr, row_cnt, overflow = _compact_rows(jnp, emit, h, wp, R)
         return hr, wr, row_cnt, overflow, ns, nh
 
     return jax.jit(f)
@@ -87,16 +102,7 @@ def _chunk_batch_jit(k: int, w: int, chunk: int):
     def one(seq, true_len):
         emit, h, wp, _, _ = minimizer.winnow_chunk_kernel(
             seq, jnp.int32(0), jnp.int32(-2), jnp.bool_(False), true_len, k, w)
-        e2 = emit.reshape(R, _ROW)
-        h2 = h.reshape(R, _ROW)
-        w2 = wp.reshape(R, _ROW)
-        order = jnp.argsort(jnp.where(e2, 0, 1).astype(jnp.int32), axis=1,
-                            stable=True)[:, :_CAP_R]
-        row_cnt = e2.sum(axis=1).astype(jnp.int32)
-        overflow = (row_cnt > _CAP_R).any()
-        hr = jnp.take_along_axis(h2, order, axis=1)
-        wr = jnp.take_along_axis(w2, order, axis=1)
-        return hr, wr, row_cnt, overflow
+        return _compact_rows(jnp, emit, h, wp, R)
 
     return jax.jit(jax.vmap(one))
 

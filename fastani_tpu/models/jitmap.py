@@ -200,6 +200,10 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
     s_u = s[u_frag]
     gated = l2_valid & (shared >= gate_lut[jnp.clip(s_u, 0, gate_lut.shape[0] - 1)])
 
+    # observed maxima (drive the capacity auto-tuner in JitMapper)
+    max_span = jnp.int32(0)
+    if u_b0 is not None:
+        max_span = jnp.where(u_valid, u_eL - u_b0, 0).max().astype(jnp.int32)
     return dict(
         frag=u_frag, sid=u_sid, shared=shared, sketch=s_u, mean_pos=mean_pos,
         valid=gated & ~l2_over,
@@ -207,6 +211,11 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
         l1_overflow=l1.overflow,               # (F,)
         l2_overflow=l2_over, l2_unit_valid=l2_valid,
         unit_frag_overflow=unit_overflow,
+        max_hits=l1.n_hits.max().astype(jnp.int32),
+        max_groups=l1.n_groups.max().astype(jnp.int32),
+        max_s=s.max().astype(jnp.int32),
+        max_span=max_span,
+        n_units=l1.valid.sum().astype(jnp.int32),
     )
 
 
@@ -234,10 +243,12 @@ def map_step_packed(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
         out["frag_sketch_overflow"].any().astype(jnp.int32),
         out["l1_overflow"].any().astype(jnp.int32),
         out["l2_overflow"].any().astype(jnp.int32),
-        out["unit_frag_overflow"].astype(jnp.int32)])
+        out["unit_frag_overflow"].astype(jnp.int32),
+        out["max_hits"], out["max_groups"], out["max_s"], out["max_span"],
+        out["n_units"]])
     return dict(
         packed=packed,                              # (5, U_cap) valid-first
-        counts=counts,                              # (5,)
+        counts=counts,                              # (10,)
         frag_sketch_overflow=out["frag_sketch_overflow"],
         l1_overflow=out["l1_overflow"],
         l2_overflow=out["l2_overflow"],
@@ -256,11 +267,28 @@ class JitMapper:
             overflowed; their results are excluded and the caller must
             recompute them with the exact host model.
 
-    Only the valid prefix and a 5-int counts vector cross the (slow)
+    Only the valid prefix and a small counts vector cross the (slow)
     device->host link; the dense per-unit buffers stay on device.
+
+    Capacity auto-tuning: the default caps are sized for worst cases (the
+    L2 rank-table cost is ~O(T*ncap*scap) per unit chunk, so oversized
+    caps waste real FLOPs).  The first batch runs at default caps and
+    reports the observed maxima (hits, candidates, sketch size, window
+    span) in its counts vector; subsequent batches run a tighter compiled
+    variant sized to those maxima (+margin).  If a later batch overflows
+    the tight caps it is re-run at default caps (exact, already compiled)
+    and the tight variant is rebuilt with the new maxima.  Results are
+    bit-identical at any cap — caps only set buffer shapes.
+
+    dispatch()/collect() expose the step asynchronously so the host can
+    enqueue batch i+1 while the device runs batch i (the tunnel's H2D/D2H
+    latency then overlaps device compute).
     """
 
-    def __init__(self, params, index, unit_factor: int = 4, unit_chunk: int = 128):
+    _MAX_RETUNES = 3
+
+    def __init__(self, params, index, unit_factor: int = 4,
+                 unit_chunk: int = 128, auto_tune: bool = True):
         self.params = params
         self.index = index
         self.cfg = MapperConfig.from_params(params, index.freq_threshold,
@@ -323,22 +351,81 @@ class JitMapper:
         ss[:S] = index.seq_start
         self._seq_start = jnp.asarray(ss)
         self._fn = jax.jit(functools.partial(map_step_packed, self.cfg))
+        self._auto = auto_tune and self.cfg.wpos_bits is not None
+        self._tuned = None            # (cfg, jitted fn) once built
+        self._seen = dict(hits=0, groups=0, s=0, span=0, batches=0)
+        self._retunes = 0
 
-    def __call__(self, frags_u8: np.ndarray) -> Dict[str, np.ndarray]:
+    # ---- capacity auto-tuner ------------------------------------------------
+
+    def _update_seen(self, counts: np.ndarray) -> None:
+        s = self._seen
+        s["hits"] = max(s["hits"], int(counts[5]))
+        s["groups"] = max(s["groups"], int(counts[6]))
+        s["s"] = max(s["s"], int(counts[7]))
+        s["span"] = max(s["span"], int(counts[8]))
+        s["batches"] += 1
+
+    def _maybe_build_tuned(self) -> None:
+        if (not self._auto or self._tuned is not None
+                or self._seen["batches"] < 1
+                or self._retunes >= self._MAX_RETUNES):
+            return
+        c, s = self.cfg, self._seen
+        p2 = lambda v: 1 << max(int(v) - 1, 1).bit_length()
+        r128 = lambda v: max(128, -(-int(v) // 128) * 128)
+        tuned = dataclasses.replace(
+            c,
+            hits_cap=min(c.hits_cap, max(512, p2(s["hits"] * 1.3))),
+            cand_cap=min(c.cand_cap, max(8, p2(s["groups"] * 1.5 + 1))),
+            sketch_cap=min(c.sketch_cap, r128(s["s"] * 1.1 + 16)),
+            l2_entry_cap=min(c.l2_entry_cap, r128(s["span"] * 1.2 + 32)),
+        )
+        self._retunes += 1
+        if tuned == c:
+            self._tuned = (c, self._fn)
+        else:
+            self._tuned = (tuned, jax.jit(functools.partial(map_step_packed,
+                                                            tuned)))
+
+    # ---- async two-phase interface -----------------------------------------
+
+    def dispatch(self, frags_u8: np.ndarray) -> dict:
+        """Enqueue one batch on the device; returns a handle for collect()."""
         F = frags_u8.shape[0]
         B = self.params.frag_batch
         if F < B:  # pad batch to the static size
             padded = np.zeros((B, frags_u8.shape[1]), np.uint8)
             padded[:F] = frags_u8
             frags_u8 = padded
-        packed = (self.cfg.wpos_bits is not None)
-        out = self._fn(jnp.asarray(frags_u8), self._occ_hash, self._occ_sid,
-                       self._occ_wpos, self._mi_hash, self._mi_sid,
-                       self._mi_wpos, self._seq_start, self._min_hits,
-                       self._gate, self._n_occ,
-                       self._occ_packed if packed else None,
-                       self._mi_packed if packed else None)
+        self._maybe_build_tuned()
+        if self._tuned is not None:
+            cfg, fn = self._tuned
+        else:
+            cfg, fn = self.cfg, self._fn
+        return self._dispatch_with(cfg, fn, frags_u8, F)
+
+    def _dispatch_with(self, cfg, fn, frags_u8: np.ndarray, F: int) -> dict:
+        packed = (cfg.wpos_bits is not None)
+        out = fn(jnp.asarray(frags_u8), self._occ_hash, self._occ_sid,
+                 self._occ_wpos, self._mi_hash, self._mi_sid,
+                 self._mi_wpos, self._seq_start, self._min_hits,
+                 self._gate, self._n_occ,
+                 self._occ_packed if packed else None,
+                 self._mi_packed if packed else None)
+        return dict(out=out, F=F, frags=frags_u8, tight=(cfg is not self.cfg))
+
+    def collect(self, handle: dict) -> Dict[str, np.ndarray]:
+        """Fetch one dispatched batch's results (blocking)."""
+        out, F = handle["out"], handle["F"]
         counts = np.asarray(out["counts"])
+        self._update_seen(counts)
+        if handle["tight"] and counts[1:5].any():
+            # tight caps overflowed: exact re-run at default caps, and
+            # rebuild the tight variant around the larger observed maxima
+            self._tuned = None
+            return self.collect(self._dispatch_with(
+                self.cfg, self._fn, handle["frags"], F))
         n = int(counts[0])
         packed = (np.asarray(out["packed"][:, :n]) if n
                   else np.zeros((5, 0), np.int32))
@@ -368,3 +455,6 @@ class JitMapper:
         return dict(frag=frag[keep], sid=sid[keep], shared=shared[keep],
                     sketch=sketch[keep], mean_pos=mean_pos[keep],
                     fallback_frags=fb)
+
+    def __call__(self, frags_u8: np.ndarray) -> Dict[str, np.ndarray]:
+        return self.collect(self.dispatch(frags_u8))

@@ -153,6 +153,8 @@ class L1Result:
     end: object      # (F, cand_cap) int32 rangeEndPos
     valid: object    # (F, cand_cap) bool
     overflow: object  # (F,) bool — hits or candidates exceeded caps
+    n_hits: object = None    # (F,) int32 true L1 hit count (pre-cap)
+    n_groups: object = None  # (F,) int32 true candidate count (pre-cap)
 
 
 def _register_pytree(cls):
@@ -304,7 +306,8 @@ def l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos, min_hits_lut,
     g_end = take_along(xp, last_end, xp.clip(last_member, 0, hits_cap - 1),
                        -1).astype(xp.int32)
     g_sid = xp.where(g_valid, g_sid, -1)
-    return L1Result(g_sid, g_start, g_end, g_valid, overflow)
+    return L1Result(g_sid, g_start, g_end, g_valid, overflow,
+                    n_hits=total, n_groups=n_groups)
 
 
 # ---------------------------------------------------------------------------

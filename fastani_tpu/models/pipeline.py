@@ -149,8 +149,29 @@ def map_queries_batched(queries: List[QueryFragments], index: ReferenceIndex,
     cols = {k: [] for k in ("qno", "qsid", "sid", "start", "ident")}
     hindex = None
     F = len(all_frags)
-    for b0 in range(0, F, B):
-        out = jit_mapper(all_frags[b0:b0 + B])
+
+    # depth-2 dispatch pipeline: batch i+1 is enqueued (H2D + launch)
+    # before batch i's results are fetched, so tunnel latency overlaps
+    # device compute.  Falls back to synchronous mapping for mappers
+    # without the two-phase interface.
+    pipelined = hasattr(jit_mapper, "dispatch") and hasattr(jit_mapper, "collect")
+    starts = list(range(0, F, B))
+
+    def results_iter():
+        if not pipelined:
+            for b0 in starts:
+                yield b0, jit_mapper(all_frags[b0:b0 + B])
+            return
+        inflight = []
+        for b0 in starts:
+            inflight.append((b0, jit_mapper.dispatch(all_frags[b0:b0 + B])))
+            if len(inflight) >= 2:
+                p0, h = inflight.pop(0)
+                yield p0, jit_mapper.collect(h)
+        for p0, h in inflight:
+            yield p0, jit_mapper.collect(h)
+
+    for b0, out in results_iter():
         if len(out["frag"]):
             ident, _ = stats.identities_for(out["shared"], out["sketch"],
                                             params.kmer_size)
