@@ -207,8 +207,10 @@ def build_device(cls, params: Parameters,
             return
         import jax.numpy as jnp
 
-        nb = len(pending)
-        nbp = 1 if nb == 1 else 1 << (nb - 1).bit_length()
+        # always pad to the full batch: each distinct row count would be a
+        # separate ~30 s XLA:TPU compile of the heaviest build program; the
+        # wasted winnow FLOPs on pad rows are milliseconds
+        nbp = _BATCH
         buf = np.zeros((nbp, width), np.uint8)
         lens = np.zeros(nbp, np.int32)
         sids = np.zeros(nbp, np.int32)

@@ -427,8 +427,16 @@ class JitMapper:
             return self.collect(self._dispatch_with(
                 self.cfg, self._fn, handle["frags"], F))
         n = int(counts[0])
-        packed = (np.asarray(out["packed"][:, :n]) if n
-                  else np.zeros((5, 0), np.int32))
+        if n:
+            # fetch a 256-bucketed prefix: a slice shaped by the exact row
+            # count would compile ONE XLA slice program PER DISTINCT COUNT
+            # (seconds each on the tunneled TPU); bucketing bounds the
+            # variants at U_cap/256 and they all hit the jit cache
+            U_cap = out["packed"].shape[1]
+            nb = min(U_cap, -(-n // 256) * 256)
+            packed = np.asarray(out["packed"][:, :nb])[:, :n]
+        else:
+            packed = np.zeros((5, 0), np.int32)
         frag, sid, shared, sketch, mean_pos = packed
 
         fallback = set()

@@ -345,7 +345,7 @@ def _searchsorted_pairs(xp, a_sid, a_wpos, q_sid, q_wpos):
 def l2_map_units(xp, qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
                  mi_hash, mi_sid, mi_wpos, seq_start,
                  frag_len: int, k: int, w: int, ncap: int,
-                 pair_cap: int = 128, begin_end=None):
+                 pair_cap: int = 128, begin_end=None, _stage: int = 99):
     """Batched L2 over work units.
 
     qh (F, scap), s (F,); unit arrays (U,): fragment id, candidate contig /
@@ -401,6 +401,10 @@ def l2_map_units(xp, qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
         lp = xp.where(in_contig, mi_wpos[gc], _PINF).astype(xp.int32)
     overflow = u_valid & ((eL - b0) > ncap)
 
+    if _stage == 1:  # profiling checkpoint: window slice only
+        dep = (lh.astype(xp.int32) & 0xFF).sum(-1) + lp.sum(-1)
+        return L2Result(dep, dep, u_valid, overflow)
+
     e0_loc = xp.clip(e0 - b0, 0, ncap)
     eL_loc = xp.clip(eL - b0, 0, ncap)
 
@@ -450,6 +454,10 @@ def l2_map_units(xp, qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
     # NB: le is clipped at ncap; windows truncated by ncap are covered by the
     # overflow flag and recomputed exactly on host.
 
+    if _stage == 2:  # profiling checkpoint: + event staircase
+        dep = lb.sum(-1) + le.sum(-1) + ev_valid.sum(-1).astype(xp.int32)
+        return L2Result(dep, dep, u_valid, overflow)
+
     # ---- static per-unit rank tables
     qh_u = qh[frag_of_unit]          # (U, scap)
     s_u = s[frag_of_unit]            # (U,)
@@ -479,6 +487,10 @@ def l2_map_units(xp, qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
     m2 = xp.cumsum(match.astype(xp.int32), axis=-1)
     m2 = xp.concatenate([xp.zeros((U, scap, 1), xp.int32), m2], axis=-1)
 
+    if _stage == 3:  # profiling checkpoint: + rank tables
+        dep = m1[:, :, -1].sum(-1) + m2[:, :, -1].sum(-1) + lb.sum(-1)
+        return L2Result(dep, dep, u_valid, overflow)
+
     # ---- duplicate-pair list (consecutive same-hash occurrences, pos order)
     order = xp.lexsort((offs[None, :] * xp.ones((U, 1), xp.int32), lh), axis=-1)
     lh_s = take_along(xp, lh, order, -1)
@@ -502,6 +514,10 @@ def l2_map_units(xp, qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
     # pair activity per event: both ends inside [lb, le)
     act = pr_ok[:, None, :] & (pr_prev[:, None, :] >= lb[:, :, None]) \
         & (pr_this[:, None, :] < le[:, :, None])               # (U, T, pcap)
+
+    if _stage == 4:  # profiling checkpoint: + duplicate-pair machinery
+        dep = act.sum(-1).sum(-1).astype(xp.int32) + m1[:, :, -1].sum(-1)
+        return L2Result(dep, dep, u_valid, overflow)
 
     if is_jax(xp):
         # ---- all per-event rank queries as one-hot matmuls (MXU path):
