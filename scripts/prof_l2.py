@@ -7,7 +7,6 @@ the successive difference.
 
 from __future__ import annotations
 
-import functools
 import os
 import sys
 import tempfile
