@@ -93,7 +93,8 @@ class MapperConfig:
 
 def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
              mi_hash, mi_sid, mi_wpos, seq_start, min_hits_lut, gate_lut,
-             n_occ=None, occ_packed=None, mi_packed=None):
+             n_occ=None, occ_packed=None, mi_packed=None,
+             mi_prev=None, mi_nxt=None):
     """One fragment batch against one index shard.  Pure function of arrays.
 
     Index arrays may be padded (pow-2 bucketed for compile reuse); n_occ is
@@ -126,27 +127,20 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
     u_valid = u_valid[take]
     unit_overflow = u_valid.sum() < l1.valid.sum()  # units dropped
 
-    # batch-level window location: with packed (seqId,wpos) keys all three
+    # batch-level window location: with packed (seqId,wpos) keys both
     # positional searches run as ONE sort-based searchsorted over the whole
-    # unit list, instead of 3 x 31 sequential binary-search gather rounds
-    # per L2 chunk (the dominant L2 cost on this TPU)
-    u_b0 = u_e0 = u_eL = None
+    # unit list, instead of sequential binary-search gather rounds per L2
+    # chunk (the dominant L2 cost on this TPU)
+    u_b0 = u_eL = None
     if cfg.wpos_bits is not None and mi_packed is not None:
         bits = cfg.wpos_bits
-        C = l - (cfg.window_size - 1) - (k - 1)
         sid_m = jnp.where(u_valid, u_sid, 0).astype(jnp.uint32)
         key = lambda pos: (sid_m << bits) | pos.astype(jnp.uint32)
-        u_b0 = jnp.searchsorted(mi_packed, key(u_start), side="left",
-                                method="sort").astype(jnp.int32)
-        u_b0 = jnp.minimum(u_b0, n_occ)
-        Mp_mi = mi_wpos.shape[0]
-        sw0 = jnp.where(u_valid & (u_b0 < n_occ),
-                        mi_wpos[jnp.clip(u_b0, 0, Mp_mi - 1)], 0)
-        q2 = jnp.concatenate([key(sw0 + C), key(u_end + l)])
+        q2 = jnp.concatenate([key(u_start), key(u_end + l)])
         r2 = jnp.searchsorted(mi_packed, q2, side="left",
                               method="sort").astype(jnp.int32)
         r2 = jnp.minimum(r2, n_occ)
-        u_e0, u_eL = r2[: u_b0.shape[0]], r2[u_b0.shape[0]:]
+        u_b0, u_eL = r2[: u_sid.shape[0]], r2[u_sid.shape[0]:]
 
     # L2 in fixed-size chunks driven by a while_loop that stops after the
     # last chunk containing a VALID unit — units were compacted valid-first
@@ -165,7 +159,6 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
     cu_valid = pad_to(u_valid.astype(jnp.int32)) > 0
     if u_b0 is not None:
         cu_b0 = pad_to(u_b0)
-        cu_e0 = pad_to(u_e0)
         cu_eL = pad_to(u_eL)
 
     n_live = -(-u_valid.sum().astype(jnp.int32) // cfg.unit_chunk)
@@ -180,11 +173,12 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
         i, (o_sh, o_mp, o_va, o_ov) = state
         off = i * cfg.unit_chunk
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, off, cfg.unit_chunk)
-        be = (sl(cu_b0), sl(cu_e0), sl(cu_eL)) if u_b0 is not None else None
+        be = (sl(cu_b0), sl(cu_eL)) if u_b0 is not None else None
         r = mapping.l2_map_units(jnp, qh, s, sl(cu_frag), sl(cu_sid),
                                  sl(cu_start), sl(cu_end), sl(cu_valid),
                                  mi_hash, mi_sid, mi_wpos, seq_start,
-                                 l, k, w, cfg.l2_entry_cap, begin_end=be)
+                                 l, k, w, cfg.l2_entry_cap, begin_end=be,
+                                 prev_g=mi_prev, nxt_g=mi_nxt)
         upd = lambda o, v: jax.lax.dynamic_update_slice_in_dim(o, v, off, 0)
         return (i + 1, (upd(o_sh, r.shared), upd(o_mp, r.mean_pos),
                         upd(o_va, r.valid), upd(o_ov, r.overflow)))
@@ -221,7 +215,8 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
 
 def map_step_packed(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
                     mi_hash, mi_sid, mi_wpos, seq_start, min_hits_lut,
-                    gate_lut, n_occ=None, occ_packed=None, mi_packed=None):
+                    gate_lut, n_occ=None, occ_packed=None, mi_packed=None,
+                    mi_prev=None, mi_nxt=None):
     """map_step + device-side compaction for host consumption.
 
     The session TPU's device->host link runs at ~1 MB/s with ~30 ms
@@ -232,7 +227,8 @@ def map_step_packed(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
     """
     out = map_step(cfg, frags, occ_hash, occ_sid, occ_wpos, mi_hash, mi_sid,
                    mi_wpos, seq_start, min_hits_lut, gate_lut, n_occ=n_occ,
-                   occ_packed=occ_packed, mi_packed=mi_packed)
+                   occ_packed=occ_packed, mi_packed=mi_packed,
+                   mi_prev=mi_prev, mi_nxt=mi_nxt)
     keep = out["valid"]
     corder = jnp.argsort(jnp.where(keep, 0, 1).astype(jnp.int32), stable=True)
     packed = jnp.stack([
@@ -345,6 +341,14 @@ class JitMapper:
         else:
             self._occ_packed = self._occ_hash  # unused placeholder
             self._mi_packed = self._mi_hash
+        # per-entry previous/next same-(hash, seqId) occurrence links: the
+        # L2 event walk decides distinct-membership changes from them
+        # (replaces the reference's ordered-map presence checks,
+        # slidingMap.hpp:137-211); one-time device argsort at init
+        from fastani_tpu.models import l2walk
+
+        self._mi_prev, self._mi_nxt = jax.jit(l2walk.prev_next_global)(
+            self._mi_hash, self._mi_sid)
         S = len(index.seq_start)
         Sp = max(8, 1 << max(S - 1, 1).bit_length())
         ss = np.full(Sp, index.seq_start[-1] if S else 0, np.int64)
@@ -412,7 +416,8 @@ class JitMapper:
                  self._mi_wpos, self._seq_start, self._min_hits,
                  self._gate, self._n_occ,
                  self._occ_packed if packed else None,
-                 self._mi_packed if packed else None)
+                 self._mi_packed if packed else None,
+                 self._mi_prev, self._mi_nxt)
         return dict(out=out, F=F, frags=frags_u8, tight=(cfg is not self.cfg))
 
     def collect(self, handle: dict) -> Dict[str, np.ndarray]:

@@ -345,16 +345,19 @@ def _searchsorted_pairs(xp, a_sid, a_wpos, q_sid, q_wpos):
 def l2_map_units(xp, qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
                  mi_hash, mi_sid, mi_wpos, seq_start,
                  frag_len: int, k: int, w: int, ncap: int,
-                 pair_cap: int = 128, begin_end=None, _stage: int = 99):
+                 pair_cap: int = 128, *, begin_end=None,
+                 prev_g=None, nxt_g=None, backend: str = "auto"):
     """Batched L2 over work units.
 
     qh (F, scap), s (F,); unit arrays (U,): fragment id, candidate contig /
     range.  Index arrays are the build-order (seqId,wpos)-sorted globals.
     Returns L2Result with per-unit best shared count and mean optimal pos.
 
-    Work layout (TPU-lean form): per unit, two STATIC prefix tables over
-    (query rank x entry position) answer each event's rank queries with
-    O(scap) gathers instead of an O(ncap) cumsum per event:
+    JAX backends delegate to the event-walk kernel (models/l2walk.py) —
+    amortized O(1) vector work per super-window event.  The NumPy path
+    below keeps the independent closed-form evaluation: per unit, two
+    STATIC prefix tables over (query rank x entry position) answer each
+    event's rank queries:
       M1[j, x] = #{entries i < x : nonQ, hash < q_j}   (occurrences)
       M2[j, x] = #{entries i < x : hash == q_j}
     In-window duplicate hashes (the reference's ordered-map set semantics)
@@ -362,7 +365,16 @@ def l2_map_units(xp, qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
     a duplicate exists in [lb,le) iff both pair ends are inside, so
       distinct nonQ below q_j = (M1 diff) - (# active pairs with hash < q_j).
     Units with more than pair_cap such pairs overflow to the host path.
+    The two formulations cross-check each other in tests/test_l2walk.py.
     """
+    if is_jax(xp):
+        from fastani_tpu.models import l2walk
+
+        return l2walk.l2_walk_units(
+            qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
+            mi_hash, mi_sid, mi_wpos, frag_len, k, w, ncap,
+            begin_end=begin_end, prev_g=prev_g, nxt_g=nxt_g, backend=backend)
+
     U = u_sid.shape[0]
     F, scap = qh.shape
     M = mi_hash.shape[0]
@@ -370,40 +382,19 @@ def l2_map_units(xp, qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
 
     sid = xp.where(u_valid, u_sid, 0)
     offs = xp.arange(ncap, dtype=xp.int32)
-    if begin_end is not None:
-        # window bounds precomputed at the batch level (packed-key sorted
-        # searches); entries read as contiguous slices — the caller
-        # guarantees ncap of sentinel padding past the last entry
-        b0, e0, eL = begin_end
-        import jax as _jax
+    b0 = _searchsorted_pairs(xp, mi_sid, mi_wpos, sid, u_start)
+    b0c = xp.clip(b0, 0, max(M - 1, 0))
+    sw0 = xp.where(u_valid & (b0 < M), mi_wpos[b0c], 0)
+    e0 = _searchsorted_pairs(xp, mi_sid, mi_wpos, sid, sw0 + C)
+    eL = _searchsorted_pairs(xp, mi_sid, mi_wpos, sid, u_end + frag_len)
 
-        start = xp.clip(b0, 0, M - ncap)
-        take_slice = lambda arr: _jax.vmap(
-            lambda st: _jax.lax.dynamic_slice(arr, (st,), (ncap,)))(start)
-        sid_w = take_slice(mi_sid)
-        in_contig = sid_w == sid[:, None]
-        lh = xp.where(in_contig, take_slice(mi_hash), xp.asarray(_UMAX))
-        lp = xp.where(in_contig, take_slice(mi_wpos), _PINF).astype(xp.int32)
-        sw0 = xp.where(in_contig[:, 0], lp[:, 0], 0)
-        gidx = b0[:, None] + offs[None, :]
-    else:
-        b0 = _searchsorted_pairs(xp, mi_sid, mi_wpos, sid, u_start)
-        b0c = xp.clip(b0, 0, max(M - 1, 0))
-        sw0 = xp.where(u_valid & (b0 < M), mi_wpos[b0c], 0)
-        e0 = _searchsorted_pairs(xp, mi_sid, mi_wpos, sid, sw0 + C)
-        eL = _searchsorted_pairs(xp, mi_sid, mi_wpos, sid, u_end + frag_len)
-
-        # local entry window [b0, b0+ncap)
-        gidx = b0[:, None] + offs[None, :]
-        gc = xp.clip(gidx, 0, max(M - 1, 0))
-        in_contig = (gidx < M) & (mi_sid[gc] == sid[:, None])
-        lh = xp.where(in_contig, mi_hash[gc], xp.asarray(_UMAX))
-        lp = xp.where(in_contig, mi_wpos[gc], _PINF).astype(xp.int32)
+    # local entry window [b0, b0+ncap)
+    gidx = b0[:, None] + offs[None, :]
+    gc = xp.clip(gidx, 0, max(M - 1, 0))
+    in_contig = (gidx < M) & (mi_sid[gc] == sid[:, None])
+    lh = xp.where(in_contig, mi_hash[gc], xp.asarray(_UMAX))
+    lp = xp.where(in_contig, mi_wpos[gc], _PINF).astype(xp.int32)
     overflow = u_valid & ((eL - b0) > ncap)
-
-    if _stage == 1:  # profiling checkpoint: window slice only
-        dep = (lh.astype(xp.int32) & 0xFF).sum(-1) + lp.sum(-1)
-        return L2Result(dep, dep, u_valid, overflow)
 
     e0_loc = xp.clip(e0 - b0, 0, ncap)
     eL_loc = xp.clip(eL - b0, 0, ncap)
@@ -454,42 +445,23 @@ def l2_map_units(xp, qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
     # NB: le is clipped at ncap; windows truncated by ncap are covered by the
     # overflow flag and recomputed exactly on host.
 
-    if _stage == 2:  # profiling checkpoint: + event staircase
-        dep = lb.sum(-1) + le.sum(-1) + ev_valid.sum(-1).astype(xp.int32)
-        return L2Result(dep, dep, u_valid, overflow)
-
     # ---- static per-unit rank tables
     qh_u = qh[frag_of_unit]          # (U, scap)
     s_u = s[frag_of_unit]            # (U,)
     jrow = xp.arange(scap, dtype=xp.int32)
-    if is_jax(xp):
-        # compare-broadcast ranks (no binary-search gathers)
-        jq = jrow[None, :, None]
-        le_cmp = (qh_u[:, :, None] <= lh[:, None, :])          # (U, scap, ncap)
-        jr = le_cmp.sum(-2).astype(xp.int32)                   # #{qh <= h}
-        eqm = (qh_u[:, :, None] == lh[:, None, :]) & (jq < s_u[:, None, None])
-        inq = eqm.any(-2) & in_contig
-        nonq = in_contig & ~inq
-        below = nonq[:, None, :] & (jr[:, None, :] <= jq)
-        match = eqm & in_contig[:, None, :]
-    else:
-        # jr[i] = #{query hashes <= hash_i}; exact-match via left search
-        jr = batched_searchsorted(xp, qh_u, lh, side="right")      # (U, ncap)
-        ql = batched_searchsorted(xp, qh_u, lh, side="left")
-        qlc = xp.clip(ql, 0, scap - 1)
-        inq = (ql < s_u[:, None]) & (take_along(xp, qh_u, qlc, -1) == lh) & in_contig
-        nonq = in_contig & ~inq
-        below = nonq[:, None, :] & (jr[:, None, :] <= jrow[None, :, None])
-        match = inq[:, None, :] & (ql[:, None, :] == jrow[None, :, None])
+    # jr[i] = #{query hashes <= hash_i}; exact-match via left search
+    jr = batched_searchsorted(xp, qh_u, lh, side="right")      # (U, ncap)
+    ql = batched_searchsorted(xp, qh_u, lh, side="left")
+    qlc = xp.clip(ql, 0, scap - 1)
+    inq = (ql < s_u[:, None]) & (take_along(xp, qh_u, qlc, -1) == lh) & in_contig
+    nonq = in_contig & ~inq
+    below = nonq[:, None, :] & (jr[:, None, :] <= jrow[None, :, None])
+    match = inq[:, None, :] & (ql[:, None, :] == jrow[None, :, None])
     # M1[j, x] = #{entries i < x : nonQ, hash < q_j};  M2: occurrences of q_j
     m1 = xp.cumsum(below.astype(xp.int32), axis=-1)
     m1 = xp.concatenate([xp.zeros((U, scap, 1), xp.int32), m1], axis=-1)  # (U, scap, ncap+1)
     m2 = xp.cumsum(match.astype(xp.int32), axis=-1)
     m2 = xp.concatenate([xp.zeros((U, scap, 1), xp.int32), m2], axis=-1)
-
-    if _stage == 3:  # profiling checkpoint: + rank tables
-        dep = m1[:, :, -1].sum(-1) + m2[:, :, -1].sum(-1) + lb.sum(-1)
-        return L2Result(dep, dep, u_valid, overflow)
 
     # ---- duplicate-pair list (consecutive same-hash occurrences, pos order)
     order = xp.lexsort((offs[None, :] * xp.ones((U, 1), xp.int32), lh), axis=-1)
@@ -515,63 +487,24 @@ def l2_map_units(xp, qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
     act = pr_ok[:, None, :] & (pr_prev[:, None, :] >= lb[:, :, None]) \
         & (pr_this[:, None, :] < le[:, :, None])               # (U, T, pcap)
 
-    if _stage == 4:  # profiling checkpoint: + duplicate-pair machinery
-        dep = act.sum(-1).sum(-1).astype(xp.int32) + m1[:, :, -1].sum(-1)
-        return L2Result(dep, dep, u_valid, overflow)
-
-    if is_jax(xp):
-        # ---- all per-event rank queries as one-hot matmuls (MXU path):
-        # W = onehot(le) - onehot(lb) over table columns; D = W @ M1 etc.
-        # v5e's MXU is bf16-native (f32 matmuls decompose into 3-6 passes),
-        # so each int table is split into two bf16 planes (hi = v>>8 <= 3,
-        # lo = v&255 <= 255, both bf16-exact); one-hot diffs are exact in
-        # bf16 and accumulation runs in f32, so results are integers.
-        col = xp.arange(ncap + 1, dtype=xp.int32)
-        w_le = (col[None, None, :] == xp.clip(le, 0, ncap)[:, :, None])
-        w_lb = (col[None, None, :] == xp.clip(lb, 0, ncap)[:, :, None])
-        wdiff = (w_le.astype(xp.bfloat16)
-                 - w_lb.astype(xp.bfloat16))                    # (U,T,ncap+1)
-        import jax as _jax
-
-        mm = lambda a, b: _jax.lax.dot_general(
-            a, b, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=xp.float32)
-
-        def split_mm(w, tbl):
-            t = xp.swapaxes(tbl, -1, -2)                        # (U,ncap+1,scap)
-            hi = (t >> 8).astype(xp.bfloat16)
-            lo = (t & 0xFF).astype(xp.bfloat16)
-            return mm(w, hi) * 256.0 + mm(w, lo)
-
-        d_nodup = split_mm(wdiff, m1)                           # (U,T,scap)
-        pres_cnt = split_mm(wdiff, m2)
-        # dup_j = (# active pairs with pair_jr <= j) via act @ Z
-        z = (pr_jr[:, :, None] <= jrow[None, None, :]).astype(xp.bfloat16)
-        dup = mm(act.astype(xp.bfloat16), z)                    # (U,T,scap)
-        d_j = d_nodup - dup
-        present = pres_cnt > 0.5
-        contrib = present & (jrow[None, None, :] + d_j < s_u[:, None, None].astype(xp.float32)) \
-            & (jrow[None, None, :] < s_u[:, None, None])
-        s_t = contrib.sum(axis=-1).astype(xp.int32)             # (U, T)
-    else:
-        cact = xp.cumsum(act.astype(xp.int32), axis=-1)
-        cact = xp.concatenate([xp.zeros((U, T, 1), xp.int32), cact], axis=-1)
-        pj = batched_searchsorted(xp, pr_jr, jrow[None, :].astype(xp.int32),
-                                  side="right")                 # (U, scap)
-        dup = take_along(xp, cact, xp.broadcast_to(pj[:, None, :], (U, T, scap)), -1)
-        m1t = xp.swapaxes(m1, -1, -2)                           # (U, ncap+1, scap)
-        m2t = xp.swapaxes(m2, -1, -2)
-        le_b = xp.clip(le, 0, ncap)[:, :, None]
-        lb_b = xp.clip(lb, 0, ncap)[:, :, None]
-        m1_le = take_along(xp, m1t, xp.broadcast_to(le_b, (U, T, scap)), -2)
-        m1_lb = take_along(xp, m1t, xp.broadcast_to(lb_b, (U, T, scap)), -2)
-        m2_le = take_along(xp, m2t, xp.broadcast_to(le_b, (U, T, scap)), -2)
-        m2_lb = take_along(xp, m2t, xp.broadcast_to(lb_b, (U, T, scap)), -2)
-        d_j = m1_le - m1_lb - dup
-        present = (m2_le - m2_lb) > 0
-        contrib = present & (jrow[None, None, :] + d_j < s_u[:, None, None]) \
-            & (jrow[None, None, :] < s_u[:, None, None])
-        s_t = contrib.sum(axis=-1).astype(xp.int32)             # (U, T)
+    cact = xp.cumsum(act.astype(xp.int32), axis=-1)
+    cact = xp.concatenate([xp.zeros((U, T, 1), xp.int32), cact], axis=-1)
+    pj = batched_searchsorted(xp, pr_jr, jrow[None, :].astype(xp.int32),
+                              side="right")                 # (U, scap)
+    dup = take_along(xp, cact, xp.broadcast_to(pj[:, None, :], (U, T, scap)), -1)
+    m1t = xp.swapaxes(m1, -1, -2)                           # (U, ncap+1, scap)
+    m2t = xp.swapaxes(m2, -1, -2)
+    le_b = xp.clip(le, 0, ncap)[:, :, None]
+    lb_b = xp.clip(lb, 0, ncap)[:, :, None]
+    m1_le = take_along(xp, m1t, xp.broadcast_to(le_b, (U, T, scap)), -2)
+    m1_lb = take_along(xp, m1t, xp.broadcast_to(lb_b, (U, T, scap)), -2)
+    m2_le = take_along(xp, m2t, xp.broadcast_to(le_b, (U, T, scap)), -2)
+    m2_lb = take_along(xp, m2t, xp.broadcast_to(lb_b, (U, T, scap)), -2)
+    d_j = m1_le - m1_lb - dup
+    present = (m2_le - m2_lb) > 0
+    contrib = present & (jrow[None, None, :] + d_j < s_u[:, None, None]) \
+        & (jrow[None, None, :] < s_u[:, None, None])
+    s_t = contrib.sum(axis=-1).astype(xp.int32)             # (U, T)
 
     s_masked = xp.where(ev_valid, s_t, -1)
     best = s_masked.max(axis=-1)

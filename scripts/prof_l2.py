@@ -72,48 +72,56 @@ def main():
         u_frag, u_sid = u_frag[take], u_sid[take]
         u_start, u_end, u_valid = u_start[take], u_end[take], u_valid[take]
         bits = cfg.wpos_bits
-        C = l - (w - 1) - (k - 1)
         sid_m = jnp.where(u_valid, u_sid, 0).astype(jnp.uint32)
         key = lambda pos: (sid_m << bits) | pos.astype(jnp.uint32)
-        b0 = jnp.searchsorted(mapper._mi_packed, key(u_start), side="left",
-                              method="sort").astype(jnp.int32)
-        b0 = jnp.minimum(b0, mapper._n_occ)
-        Mp = mapper._mi_wpos.shape[0]
-        sw0 = jnp.where(u_valid & (b0 < mapper._n_occ),
-                        mapper._mi_wpos[jnp.clip(b0, 0, Mp - 1)], 0)
-        q2 = jnp.concatenate([key(sw0 + C), key(u_end + l)])
+        q2 = jnp.concatenate([key(u_start), key(u_end + l)])
         r2 = jnp.searchsorted(mapper._mi_packed, q2, side="left",
                               method="sort").astype(jnp.int32)
         r2 = jnp.minimum(r2, mapper._n_occ)
-        e0, eL = r2[: b0.shape[0]], r2[b0.shape[0]:]
-        return qh, s, u_frag, u_sid, u_start, u_end, u_valid, b0, e0, eL
+        b0, eL = r2[: u_sid.shape[0]], r2[u_sid.shape[0]:]
+        return qh, s, u_frag, u_sid, u_start, u_end, u_valid, b0, eL
 
     out = jax.block_until_ready(prep(fd))
-    (qh, s, u_frag, u_sid, u_start, u_end, u_valid, b0, e0, eL) = out
+    (qh, s, u_frag, u_sid, u_start, u_end, u_valid, b0, eL) = out
     print(f"chunk: {int(np.asarray(u_valid.sum()))} valid units", flush=True)
 
-    def stage_fn(stage):
-        @jax.jit
-        def f(qh, s, u_frag, u_sid, u_start, u_end, u_valid, b0, e0, eL):
-            return mapping.l2_map_units(
-                jnp, qh, s, u_frag, u_sid, u_start, u_end, u_valid,
-                mapper._mi_hash, mapper._mi_sid, mapper._mi_wpos,
-                mapper._seq_start, l, k, w, cfg.l2_entry_cap,
-                begin_end=(b0, e0, eL), _stage=stage)
-        return f
+    from fastani_tpu.models import l2walk
 
-    prev = 0.0
-    for stage in (1, 2, 3, 4, 99):
-        f = stage_fn(stage)
-        args = (qh, s, u_frag, u_sid, u_start, u_end, u_valid, b0, e0, eL)
+    def timed(name, f, *args, reps=5):
         r = jax.block_until_ready(f(*args))
         t0 = time.time()
-        for _ in range(5):
+        for _ in range(reps):
             r = jax.block_until_ready(f(*args))
-        dt = (time.time() - t0) / 5 * 1e3
-        print(f"stage {stage:2d}: {dt:7.2f} ms  (delta {dt - prev:+7.2f})",
-              flush=True)
-        prev = dt
+        print(f"{name:24s}: {(time.time()-t0)/reps*1e3:7.2f} ms", flush=True)
+        return r
+
+    uargs = (qh, s, u_frag, u_sid, u_start, u_end, u_valid)
+    mi = (mapper._mi_hash, mapper._mi_sid, mapper._mi_wpos)
+
+    @jax.jit
+    def ev_only(qh, s, u_frag, u_sid, u_start, u_end, u_valid, b0, eL):
+        ev, aux = l2walk.build_events(
+            qh, s, u_frag, u_sid, u_start, u_end, u_valid, *mi,
+            l, k, w, cfg.l2_entry_cap, begin_end=(b0, eL),
+            prev_g=mapper._mi_prev, nxt_g=mapper._mi_nxt)
+        return ev, aux
+
+    def walk_fn(backend):
+        @jax.jit
+        def f(qh, s, u_frag, u_sid, u_start, u_end, u_valid, b0, eL):
+            return mapping.l2_map_units(
+                jnp, qh, s, u_frag, u_sid, u_start, u_end, u_valid,
+                *mi, mapper._seq_start, l, k, w, cfg.l2_entry_cap,
+                begin_end=(b0, eL), prev_g=mapper._mi_prev,
+                nxt_g=mapper._mi_nxt, backend=backend)
+        return f
+
+    args = uargs + (b0, eL)
+    timed("build_events", ev_only, *args)
+    timed("events + scan walk", walk_fn("scan"), *args)
+    import jax as _j
+    if _j.default_backend() == "tpu":
+        timed("events + pallas walk", walk_fn("pallas"), *args)
 
 
 if __name__ == "__main__":
