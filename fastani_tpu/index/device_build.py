@@ -180,6 +180,56 @@ def _pow2(x: int, floor: int = 128) -> int:
     return max(floor, 1 << max(int(x) - 1, 1).bit_length())
 
 
+# ---------------------------------------------------------------------------
+# Pallas producer (TPU): fused winnow kernel over haloed segment rows
+# ---------------------------------------------------------------------------
+
+_PW_ROWS = 64     # batch bucket floor: 64 rows = ~1.1 Mbp per dispatch
+
+
+def _pw_seg(k: int, w: int) -> int:
+    from fastani_tpu.ops import pallas_winnow as pw
+
+    return pw.SEG_W - (w - 1) - (k - 1)
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_batch_jit(k: int, w: int, rows: int, interpret: bool = False):
+    """Fused Pallas winnow + per-1024-row compaction for `rows` segment
+    rows; one contig's rows must be consecutive and within one call (the
+    emit-carry chains through SMEM across sequential grid steps)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastani_tpu.ops import pallas_winnow as pw
+
+    R17 = rows * (pw.SEG_W // _ROW)
+
+    def f(seq_rows, ctg, base, tl):
+        emit, h, wp = pw.winnow_rows(seq_rows, ctg, base, tl, k, w,
+                                     interpret=interpret)
+        return _compact_rows(jnp, emit.reshape(-1), h.reshape(-1),
+                             wp.reshape(-1), R17)
+
+    return jax.jit(f)
+
+
+def _pallas_available() -> bool:
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+_PW_FLUSH = 256      # target rows per dispatch (~4.4 Mbp)
+_PW_MAXROWS = 1024   # single-contig ceiling (~17.8 Mbp); larger -> XLA path
+
+
+def _pallas_mode():
+    from fastani_tpu.ops import pallas_winnow as pw
+
+    return pw.pallas_mode()
+
+
 def build_device(cls, params: Parameters,
                  ref_files: Optional[Sequence[str]] = None):
     """Device-resident ReferenceIndex build.  ``cls`` is ReferenceIndex
@@ -225,15 +275,87 @@ def build_device(cls, params: Parameters,
         overflow_dev.append(over.any())
         pending.clear()
 
+    # ---- Pallas producer (TPU): haloed segment rows through the fused
+    # winnow kernel; a contig's rows stay consecutive within ONE dispatch
+    # so the emit-carry chain (SMEM across grid steps) is exact.
+    use_pallas, pw_interp = _pallas_mode()
+    if use_pallas:
+        from fastani_tpu.ops import pallas_winnow as pw
+
+        seg_p = _pw_seg(k, w)
+        halo = w - 1
+        pend_rows: List[np.ndarray] = []
+        pend_sid: List[int] = []
+        pend_base: List[int] = []
+        pend_tl: List[int] = []
+
+        def flush_pallas():
+            n = len(pend_rows)
+            if not n:
+                return
+            import jax.numpy as jnp
+
+            Rb = _pow2(n, floor=_PW_ROWS)
+            buf = np.zeros((Rb, pw.SEG_W), np.uint8)
+            buf[:n] = np.stack(pend_rows)
+            ctg = np.full(Rb, 2**30, np.int32)   # pad rows: unique dead id
+            ctg[:n] = pend_sid
+            bs = np.zeros(Rb, np.int32)
+            bs[:n] = pend_base
+            tl = np.zeros(Rb, np.int32)          # pad rows: no valid kmers
+            tl[:n] = pend_tl
+            hr, wr, cnt, over = _pallas_batch_jit(k, w, Rb, pw_interp)(
+                jnp.asarray(buf), jnp.asarray(ctg), jnp.asarray(bs),
+                jnp.asarray(tl))
+            pieces.append((hr, wr, cnt))
+            sids = np.zeros(Rb, np.int32)
+            sids[:n] = pend_sid
+            piece_sid_rows.append(np.repeat(sids, pw.SEG_W // _ROW))
+            overflow_dev.append(over)
+            pend_rows.clear()
+            pend_sid.clear()
+            pend_base.clear()
+            pend_tl.clear()
+
+        def add_contig_pallas(sid0: int, squ: np.ndarray):
+            L = len(squ)
+            n_seg = -(-L // seg_p)
+            if n_seg > _PW_MAXROWS:     # >~17.8 Mbp contig: XLA chunk path
+                flush_pallas()
+                ps, over = winnow_contig_device(squ, k, w)
+                for hr, wr, cnt in ps:
+                    pieces.append((hr, wr, cnt))
+                    piece_sid_rows.append(
+                        np.full(int(hr.shape[0]), sid0, np.int32))
+                if over is not None:
+                    overflow_dev.append(over)
+                return
+            if pend_rows and len(pend_rows) + n_seg > max(_PW_FLUSH,
+                                                          n_seg):
+                flush_pallas()
+            for base in range(0, L, seg_p):
+                buf = np.zeros(pw.SEG_W, np.uint8)
+                lo = base - halo
+                src_lo, src_hi = max(lo, 0), min(lo + pw.SEG_W, L)
+                buf[src_lo - lo: src_hi - lo] = squ[src_lo:src_hi]
+                pend_rows.append(buf)
+                pend_sid.append(sid0)
+                pend_base.append(base)
+                pend_tl.append(L)
+            if len(pend_rows) >= _PW_FLUSH:
+                flush_pallas()
+
     seq_counter = 0
     for path in files:
         for name, seq in fasta.read_sequences(path):
             metadata.append(ContigInfo(name, len(seq)))
             L = len(seq)
             if not (L < w or L < k):
-                if L <= _CHUNK:
-                    pending.append((seq_counter,
-                                    hashing.upper_np(np.asarray(seq, np.uint8))))
+                squ = hashing.upper_np(np.asarray(seq, np.uint8))
+                if use_pallas:
+                    add_contig_pallas(seq_counter, squ)
+                elif L <= _CHUNK:
+                    pending.append((seq_counter, squ))
                     if len(pending) >= _BATCH:
                         flush()
                 else:
@@ -247,7 +369,10 @@ def build_device(cls, params: Parameters,
                         overflow_dev.append(over)
             seq_counter += 1
         seq_by_file.append(seq_counter)
-    flush()
+    if use_pallas:
+        flush_pallas()
+    else:
+        flush()
 
     # ONE overflow check for the whole build; a per-row cap overflow means
     # degenerate repeat input — rebuild exactly on the host (rare, and the

@@ -42,6 +42,24 @@ W8 = 2176          # 17 * 128 lanes
 SEG_W = 8 * W8     # 17408
 
 
+def pallas_mode():
+    """(use_pallas, interpret): env FASTANI_PALLAS_WINNOW=1/0/interpret
+    overrides the default (compiled Pallas on TPU, XLA elsewhere)."""
+    import os
+
+    env = os.environ.get("FASTANI_PALLAS_WINNOW", "")
+    if env == "0":
+        return False, False
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    if env == "interpret":
+        return True, not on_tpu
+    if env == "1":
+        return True, False
+    return on_tpu, False
+
+
 def _u32(c):
     import jax.numpy as jnp
 
@@ -152,7 +170,13 @@ def _murmur3_low32_block16(w1hi, w1lo, w2hi, w2lo):
     h2hi, h2lo = _add64(h2hi, h2lo, h1hi, h1lo)
     h2hi, h2lo = _mul5_add(h2hi, h2lo, _A2)
 
-    ln = jnp.uint32(16)
+    return _finalize_low32(h1hi, h1lo, h2hi, h2lo, 16)
+
+
+def _finalize_low32(h1hi, h1lo, h2hi, h2lo, length: int):
+    import jax.numpy as jnp
+
+    ln = jnp.uint32(length)
     h1lo = h1lo ^ ln
     h2lo = h2lo ^ ln
     h1hi, h1lo = _add64(h1hi, h1lo, h2hi, h2lo)
@@ -163,32 +187,52 @@ def _murmur3_low32_block16(w1hi, w1lo, w2hi, w2lo):
     return h1lo + h2lo
 
 
+def _murmur3_low32_tail(w1hi, w1lo, w2hi, w2lo, length: int):
+    """Keys shorter than 16 bytes: murmur3's tail-only path (zero-padded
+    words).  Mirrors ops/hashing.murmur3_low32_tail."""
+    import jax.numpy as jnp
+
+    h1hi = jnp.zeros_like(w1lo)
+    h1lo = jnp.full_like(w1lo, jnp.uint32(SEED))
+    h2hi, h2lo = h1hi, h1lo
+    if length > 8:
+        k2hi, k2lo = _mulc64(w2hi, w2lo, _C2)
+        k2hi, k2lo = _rotl64(k2hi, k2lo, 33)
+        k2hi, k2lo = _mulc64(k2hi, k2lo, _C1)
+        h2hi, h2lo = h2hi ^ k2hi, h2lo ^ k2lo
+    k1hi, k1lo = _mulc64(w1hi, w1lo, _C1)
+    k1hi, k1lo = _rotl64(k1hi, k1lo, 31)
+    k1hi, k1lo = _mulc64(k1hi, k1lo, _C2)
+    h1hi, h1lo = h1hi ^ k1hi, h1lo ^ k1lo
+    return _finalize_low32(h1hi, h1lo, h2hi, h2lo, length)
+
+
 # ---------------------------------------------------------------------------
 # (8, W8) row-major shifted views: 2 rolls + selects, no gathers
 # ---------------------------------------------------------------------------
 
-def _shift(x, s: int, fill, col, flat, n_flat: int):
-    """shifted[i] = x[i - s] over the row-major flattening of (8, W8);
+def _shift(x, s: int, fill, col, flat, n_flat: int, w8: int = W8):
+    """shifted[i] = x[i - s] over the row-major flattening of (8, w8);
     positions i < s get `fill`.  s may be negative (lookahead) or exceed
-    W8.  col/flat are iota arrays shared across calls."""
+    w8.  col/flat are iota arrays shared across calls."""
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
 
     if s == 0:
         return x
     if s > 0:
-        q, rem = divmod(s, W8)
+        q, rem = divmod(s, w8)
         a = pltpu.roll(x, rem, 1) if rem else x
-        a = pltpu.roll(a, q, 0) if q else a
+        a = pltpu.roll(a, q % 8, 0) if q % 8 else a
         b = pltpu.roll(a, 1, 0)
         out = jnp.where(col >= rem, a, b)
         return jnp.where(flat < s, fill, out)
     s = -s
-    q, rem = divmod(s, W8)
-    a = pltpu.roll(x, -rem, 1) if rem else x
-    a = pltpu.roll(a, -q, 0) if q else a
-    b = pltpu.roll(a, -1, 0)
-    out = jnp.where(col < W8 - rem, a, b)
+    q, rem = divmod(s, w8)
+    a = pltpu.roll(x, (w8 - rem) % w8, 1) if rem else x
+    a = pltpu.roll(a, (8 - q % 8) % 8, 0) if q % 8 else a
+    b = pltpu.roll(a, 7, 0)
+    out = jnp.where(col < w8 - rem, a, b)
     return jnp.where(flat >= n_flat - s, fill, out)
 
 
@@ -202,7 +246,7 @@ def _comp_bases(b):
     return jnp.where(at, 149 - b, jnp.where(cg, 138 - b, b))
 
 
-def _winnow_row_kernel(k: int, w: int,
+def _winnow_row_kernel(k: int, w: int, seg: int, w8: int,
                        ctg_ref, base_ref, len_ref,
                        seq_ref, emit_ref, hash_ref, wpos_ref,
                        carry_sel_ref, carry_ctg_ref):
@@ -221,18 +265,20 @@ def _winnow_row_kernel(k: int, w: int,
         carry_ctg_ref[0] = -1
         carry_sel_ref[0] = -2
 
+    my_ctg = ctg_ref[r]
+
     halo = w - 1
-    x = seq_ref[0]                                     # (8, W8) int32 bytes
-    col = jax.lax.broadcasted_iota(jnp.int32, (8, W8), 1)
-    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, W8), 0)
-    flat = row8 * W8 + col
-    n_flat = SEG_W
+    x = seq_ref[0]                                     # (8, w8) int32 bytes
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, w8), 1)
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, w8), 0)
+    flat = row8 * w8 + col
+    n_flat = 8 * w8
 
     # uppercase (commonFunc.hpp:57-66)
     x = jnp.where((x >= 97) & (x <= 122), x - 32, x)
 
     # byte lookaheads b_j[i] = x[i + j], j in [0, k)
-    sh = lambda arr, s, fill: _shift(arr, s, fill, col, flat, n_flat)
+    sh = lambda arr, s, fill: _shift(arr, s, fill, col, flat, n_flat, w8)
     bj = [x if j == 0 else sh(x, -j, 0) for j in range(k)]
     cj = [_comp_bases(b) for b in bj]
 
@@ -240,22 +286,24 @@ def _winnow_row_kernel(k: int, w: int,
         """LE-pack byte list into (w1hi, w1lo, w2hi, w2lo) u32 words."""
         import jax.numpy as jnp
 
-        acc = [jnp.zeros((8, W8), jnp.uint32) for _ in range(4)]
+        acc = [jnp.zeros((8, w8), jnp.uint32) for _ in range(4)]
         for j, b in enumerate(words):
             v = b.astype(jnp.uint32) << jnp.uint32(8 * (j % 4))
             slot = (1, 0, 3, 2)[j // 4]  # (w1lo, w1hi, w2lo, w2hi) order
             acc[slot] = acc[slot] | v
         return acc  # [w1hi, w1lo, w2hi, w2lo]
 
-    hf = _murmur3_low32_block16(*pack(bj))
+    mm = (_murmur3_low32_block16 if k == 16
+          else functools.partial(_murmur3_low32_tail, length=k))
+    hf = mm(*pack(bj))
     # reverse strand: revcomp bytes in reverse order
-    hb = _murmur3_low32_block16(*pack(list(reversed(cj))))
+    hb = mm(*pack(list(reversed(cj))))
 
-    base = base_ref[0]
-    true_len = len_ref[0]
+    base = base_ref[r]
+    true_len = len_ref[r]
     gidx = flat + (base - halo)
     valid = (hf != hb) & (gidx >= 0) & (gidx <= true_len - k)
-    h = jnp.minimum(hf, hb)
+    h = jnp.where(hf < hb, hf, hb)   # Mosaic lacks arith.minui
     key_h = jnp.where(valid, h, jnp.uint32(_UMAX32))
     key_p = jnp.where(valid, gidx, -1)
 
@@ -276,16 +324,19 @@ def _winnow_row_kernel(k: int, w: int,
 
     # emit-on-change: propagate last event's selected position, seeded from
     # the previous segment of the same contig (SMEM carry)
-    fresh = carry_ctg_ref[0] != ctg_ref[0]
+    fresh = carry_ctg_ref[0] != my_ctg
     seed = jnp.where(fresh, -2, carry_sel_ref[0])
-    event = valid & (gidx >= w - 1) & (flat >= halo)
+    # events are confined to this row's scored span [halo, halo+seg);
+    # the tail overlap belongs to the NEXT row (it re-scores it), so it
+    # must not pollute the carry
+    event = valid & (gidx >= w - 1) & (flat >= halo) & (flat < halo + seg)
     lastv = jnp.where(event, wp, seed)
-    has = event
+    has = event.astype(jnp.int32)        # Mosaic rolls need 32-bit data
     d = 1
     while d < n_flat:
         sv = sh(lastv, d, seed)
-        shas = sh(has, d, False)
-        lastv = jnp.where(has, lastv, jnp.where(shas, sv, lastv))
+        shas = sh(has, d, 0)
+        lastv = jnp.where(has != 0, lastv, jnp.where(shas != 0, sv, lastv))
         has = has | shas
         d *= 2
     prev_sel = sh(lastv, 1, seed)
@@ -296,30 +347,33 @@ def _winnow_row_kernel(k: int, w: int,
     wpos_ref[0] = gidx - (w - 1)
 
     # carry out: last event's selection (seed if this row had no event)
-    carry_sel_ref[0] = lastv[7, W8 - 1]
-    carry_ctg_ref[0] = ctg_ref[0]
+    carry_sel_ref[0] = lastv[7, w8 - 1]
+    carry_ctg_ref[0] = my_ctg
 
 
 @functools.lru_cache(maxsize=None)
-def _winnow_call(k: int, w: int, n_rows: int, interpret: bool = False):
+def _winnow_call(k: int, w: int, seg: int, w8: int, n_rows: int,
+                 interpret: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kern = functools.partial(_winnow_row_kernel, k, w)
-    row = pl.BlockSpec((1, 8, W8), lambda i: (i, 0, 0),
+    kern = functools.partial(_winnow_row_kernel, k, w, seg, w8)
+    row = pl.BlockSpec((1, 8, w8), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
-    scalar = pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM)
+    # whole scalar arrays live in SMEM; the kernel indexes them by
+    # program_id (per-step rank-1 blocks do not lower on real TPU)
+    scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kern,
         grid=(n_rows,),
         in_specs=[scalar, scalar, scalar, row],
         out_specs=(row, row, row),
         out_shape=(
-            jax.ShapeDtypeStruct((n_rows, 8, W8), jnp.int32),
-            jax.ShapeDtypeStruct((n_rows, 8, W8), jnp.uint32),
-            jax.ShapeDtypeStruct((n_rows, 8, W8), jnp.int32),
+            jax.ShapeDtypeStruct((n_rows, 8, w8), jnp.int32),
+            jax.ShapeDtypeStruct((n_rows, 8, w8), jnp.uint32),
+            jax.ShapeDtypeStruct((n_rows, 8, w8), jnp.int32),
         ),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
                         pltpu.SMEM((1,), jnp.int32)],
@@ -328,7 +382,7 @@ def _winnow_call(k: int, w: int, n_rows: int, interpret: bool = False):
 
 
 def winnow_rows(seq_rows, ctg, base, true_len, k: int, w: int,
-                interpret: bool = False):
+                seg: int = None, interpret: bool = False):
     """Winnow a batch of segment rows.
 
     seq_rows: (R, SEG_W) int32 byte values covering global positions
@@ -345,10 +399,14 @@ def winnow_rows(seq_rows, ctg, base, true_len, k: int, w: int,
     """
     import jax.numpy as jnp
 
-    R = seq_rows.shape[0]
-    seq3 = seq_rows.reshape(R, 8, W8).astype(jnp.int32)
-    emit, h, wp = _winnow_call(k, w, R, interpret)(
+    R, width = seq_rows.shape
+    assert width % (8 * 128) == 0, width
+    w8 = width // 8
+    seq3 = seq_rows.reshape(R, 8, w8).astype(jnp.int32)
+    if seg is None:
+        seg = width - (w - 1) - (k - 1)
+    emit, h, wp = _winnow_call(k, w, seg, w8, R, interpret)(
         ctg.astype(jnp.int32), base.astype(jnp.int32),
         true_len.astype(jnp.int32), seq3)
-    return (emit.reshape(R, SEG_W) != 0), h.reshape(R, SEG_W), \
-        wp.reshape(R, SEG_W)
+    return (emit.reshape(R, width) != 0), h.reshape(R, width), \
+        wp.reshape(R, width)

@@ -65,3 +65,48 @@ def test_device_build_chunked_carry(files, tmp_path):
     assert len(got_h) == len(want_h)
     np.testing.assert_array_equal(got_h, want_h)
     np.testing.assert_array_equal(got_w, want_w)
+
+
+def test_device_build_pallas_matches_host(files, monkeypatch):
+    """The fused Pallas winnow producer (interpret mode on CPU) must build
+    a bit-identical index to the host build, including multi-segment
+    contigs exercising the SMEM emit-carry chain."""
+    monkeypatch.setenv("FASTANI_PALLAS_WINNOW", "interpret")
+    from fastani_tpu.config import Parameters
+    from fastani_tpu.index.sketch import ReferenceIndex
+
+    params = Parameters(ref_sequences=files).finalize()
+    host = ReferenceIndex.build(params)
+    dev = ReferenceIndex.build_device(params)
+    assert dev.num_entries == host.num_entries
+    hv = dev.host_view()
+    for f in ("mi_hash", "mi_seqid", "mi_wpos", "occ_hash", "occ_seqid",
+              "occ_wpos"):
+        np.testing.assert_array_equal(getattr(hv, f), getattr(host, f),
+                                      err_msg=f)
+    np.testing.assert_array_equal(dev.seq_start, host.seq_start)
+    assert dev.num_unique_hashes == host.num_unique_hashes
+
+
+def test_winnow_batched_pallas_matches_xla(monkeypatch):
+    """Fragment-batch winnowing: Pallas (interpret) vs the XLA doubling
+    pipeline, elementwise equal."""
+    import jax.numpy as jnp
+
+    from fastani_tpu.models import mapping
+
+    rng = np.random.default_rng(9)
+    frags = np.frombuffer(b"ACGT", dtype=np.uint8)[
+        rng.integers(0, 4, (6, 1000))].copy()
+    frags[2, 100:200] = ord("N")
+    lens = np.full(6, 1000, np.int32)
+    k, w = 16, 24
+    e0, h0, w0 = mapping.winnow_batched(jnp, jnp.asarray(frags), k, w,
+                                        jnp.asarray(lens))
+    monkeypatch.setenv("FASTANI_PALLAS_WINNOW", "interpret")
+    e1, h1, w1 = mapping.winnow_batched(jnp, jnp.asarray(frags), k, w,
+                                        jnp.asarray(lens))
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+    np.testing.assert_array_equal(np.asarray(h0)[np.asarray(e0)],
+                                  np.asarray(h1)[np.asarray(e1)])
+    np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
