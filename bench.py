@@ -64,12 +64,10 @@ def _log(msg: str) -> None:
 
 
 def run_ours(paths, params, frag_batch: int) -> tuple:
-    """TPU path: resident index, streaming jitted fragment batches."""
-    import jax.numpy as jnp
-
+    """TPU path: resident index, streaming jitted fragment batches, and
+    DEVICE-side CGI aggregation — only (G, G) tallies cross the link."""
     from fastani_tpu.index.sketch import ReferenceIndex
     from fastani_tpu.models import ani, jitmap, pipeline
-    from fastani_tpu.ops import stats
 
     params.ref_sequences = list(paths)
     params.query_sequences = list(paths)
@@ -83,7 +81,6 @@ def run_ours(paths, params, frag_batch: int) -> tuple:
                               unit_factor=len(paths) + 2, unit_chunk=128)
     t_index = time.time() - t_index0
 
-    genome_of_seq = index.genome_of_seq()
     # preload + fragment queries (host IO excluded from the mapping clock)
     queries = [pipeline.load_query_fragments(p, params) for p in paths]
 
@@ -96,16 +93,18 @@ def run_ours(paths, params, frag_batch: int) -> tuple:
     _log(f"map step compiled+warm ({time.time()-t0:.1f}s)")
 
     t0 = time.time()
-    rows = []
-    maps_per_q = pipeline.map_queries_batched(queries, index, params, mapper)
+    G = len(paths)
+    counts, sums = pipeline.map_queries_cgi_device(
+        queries, index, params, mapper, G, G)
     _log(f"mapped {sum(len(q.frags) for q in queries)} fragments from "
-         f"{len(queries)} queries in {time.time()-t0:.1f}s")
-    for qno, (qf, m) in enumerate(zip(queries, maps_per_q)):
-        r, _ = ani.compute_cgi_arrays(
-            m["ref_seq_id"], m["query_seq_id"], m["ref_start_pos"], m["ident"],
-            genome_of_seq, params.frag_len, qno, qf.total_fragments,
-            want_visual=False)
-        rows.extend(r)
+         f"{len(queries)} queries in {time.time()-t0:.1f}s (device CGI)")
+    rows = []
+    for q in range(G):
+        for g in range(G):
+            if counts[q, g] > 0:
+                rows.append(ani.CGIResult(
+                    q, g, int(counts[q, g]), queries[q].total_fragments,
+                    np.float32(sums[q, g] / np.float32(counts[q, g]))))
     t_map = time.time() - t0
     return t_map, t_index, rows
 

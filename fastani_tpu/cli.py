@@ -30,6 +30,35 @@ def parse_file_list(path: str) -> List[str]:
     return out
 
 
+def validate_input_files(paths: List[str]) -> None:
+    """Fail fast with a per-file error before any compute (reference:
+    parseCmdArgs.hpp:59-90 validateInputFiles): every genome file must
+    open and be non-empty."""
+    import gzip
+    import os
+
+    bad = False
+    for p in paths:
+        try:
+            if os.path.getsize(p) == 0:
+                print(f"ERROR, fastani_tpu, input file {p} is empty",
+                      file=sys.stderr)
+                bad = True
+                continue
+            opener = gzip.open if p.endswith(".gz") else open
+            with opener(p, "rb") as f:
+                if not f.read(1):
+                    print(f"ERROR, fastani_tpu, input file {p} is empty",
+                          file=sys.stderr)
+                    bad = True
+        except OSError as e:
+            print(f"ERROR, fastani_tpu, could not open input file {p}: "
+                  f"{e.strerror or e}", file=sys.stderr)
+            bad = True
+    if bad:
+        raise SystemExit(1)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="fastani_tpu",
@@ -66,6 +95,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", dest="profile", default="",
                    help="write a jax.profiler trace of the mapping phase "
                         "to this directory (jax backend)")
+    p.add_argument("--mesh", default="",
+                   help="run sharded on an RxQ device mesh, e.g. --mesh 2x4 "
+                        "(R reference shards x Q query-parallel devices); "
+                        "'auto' factors jax.device_count(). Output is "
+                        "bit-identical to the single-device run.")
+    p.add_argument("--coordinator", default="",
+                   help="multi-host coordinator address host:port "
+                        "(jax.distributed); every process runs this CLI")
+    p.add_argument("--nprocs", type=int, default=0,
+                   help="multi-host: total number of processes")
+    p.add_argument("--procid", type=int, default=-1,
+                   help="multi-host: this process's id (0-based)")
     return p
 
 
@@ -110,6 +151,8 @@ def main(argv=None) -> int:
                        else []),
         query_sequences=[args.query] if args.query else parse_file_list(args.queryList),
     )
+    validate_input_files(list(params.query_sequences)
+                         + list(params.ref_sequences))
     from fastani_tpu.models import pipeline
 
     print(">>>>>>>>>>>>>>>>>>", file=sys.stderr)
@@ -120,6 +163,25 @@ def main(argv=None) -> int:
     print(f"ANI output file = {params.out_file_name}", file=sys.stderr)
     print(f"Backend = {args.backend}", file=sys.stderr)
     print(">>>>>>>>>>>>>>>>>>", file=sys.stderr)
+
+    if args.mesh or args.coordinator:
+        if args.visualize:
+            print("WARNING, fastani_tpu, --visualize is not supported in "
+                  "mesh mode; falling back to the single-device path",
+                  file=sys.stderr)
+            pipeline.run(params, backend=args.backend)
+            return 0
+        from fastani_tpu.parallel import runner
+
+        n_r = n_q = None
+        if args.mesh and args.mesh != "auto":
+            n_r, n_q = (int(x) for x in args.mesh.lower().split("x"))
+        runner.run_sharded(
+            params, n_r, n_q,
+            coordinator=args.coordinator or None,
+            num_processes=args.nprocs or None,
+            process_id=args.procid if args.procid >= 0 else None)
+        return 0
 
     pipeline.run(params, backend=args.backend)
     return 0

@@ -216,14 +216,17 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
 def map_step_packed(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
                     mi_hash, mi_sid, mi_wpos, seq_start, min_hits_lut,
                     gate_lut, n_occ=None, occ_packed=None, mi_packed=None,
-                    mi_prev=None, mi_nxt=None):
+                    mi_prev=None, mi_nxt=None, qno_row=None, qsid_row=None):
     """map_step + device-side compaction for host consumption.
 
     The session TPU's device->host link runs at ~1 MB/s with ~30 ms
-    round-trip latency, so results are packed into ONE (5, U_cap) int32
+    round-trip latency, so results are packed into ONE (7, U_cap) int32
     block sorted valid-first; the host slices [:, :n_valid] and issues a
-    single small transfer.  Overflow masks are returned unpacked but only
-    fetched when the counts flags say so (rare).
+    single small transfer — or leaves the block on device entirely for the
+    device-side CGI (models/device_cgi).  Rows: (frag, qno, qsid, sid,
+    shared, sketch, mean_pos), with qno/qsid looked up from the optional
+    per-batch row maps (identity defaults otherwise).  Overflow masks are
+    returned unpacked but only fetched when the counts flags say so.
     """
     out = map_step(cfg, frags, occ_hash, occ_sid, occ_wpos, mi_hash, mi_sid,
                    mi_wpos, seq_start, min_hits_lut, gate_lut, n_occ=n_occ,
@@ -231,8 +234,11 @@ def map_step_packed(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
                    mi_prev=mi_prev, mi_nxt=mi_nxt)
     keep = out["valid"]
     corder = jnp.argsort(jnp.where(keep, 0, 1).astype(jnp.int32), stable=True)
+    frag = out["frag"]
+    qno = jnp.zeros_like(frag) if qno_row is None else qno_row[frag]
+    qsid = frag if qsid_row is None else qsid_row[frag]
     packed = jnp.stack([
-        out["frag"], out["sid"], out["shared"], out["sketch"],
+        frag, qno, qsid, out["sid"], out["shared"], out["sketch"],
         out["mean_pos"]])[:, corder]
     counts = jnp.stack([
         keep.sum().astype(jnp.int32),
@@ -394,22 +400,37 @@ class JitMapper:
 
     # ---- async two-phase interface -----------------------------------------
 
-    def dispatch(self, frags_u8: np.ndarray) -> dict:
-        """Enqueue one batch on the device; returns a handle for collect()."""
+    def dispatch(self, frags_u8: np.ndarray, qno_row=None,
+                 qsid_row=None) -> dict:
+        """Enqueue one batch on the device; returns a handle for collect().
+
+        qno_row/qsid_row: optional (F,) int32 per-row query-genome number
+        and global query sequence id, baked into the packed result rows
+        (consumed by the device-CGI path)."""
         F = frags_u8.shape[0]
         B = self.params.frag_batch
         if F < B:  # pad batch to the static size
             padded = np.zeros((B, frags_u8.shape[1]), np.uint8)
             padded[:F] = frags_u8
             frags_u8 = padded
+
+        def pad_map(m):
+            if m is None:
+                return None
+            out = np.zeros(B, np.int32)
+            out[:F] = m
+            return jnp.asarray(out)
+
         self._maybe_build_tuned()
         if self._tuned is not None:
             cfg, fn = self._tuned
         else:
             cfg, fn = self.cfg, self._fn
-        return self._dispatch_with(cfg, fn, frags_u8, F)
+        return self._dispatch_with(cfg, fn, frags_u8, F,
+                                   pad_map(qno_row), pad_map(qsid_row))
 
-    def _dispatch_with(self, cfg, fn, frags_u8: np.ndarray, F: int) -> dict:
+    def _dispatch_with(self, cfg, fn, frags_u8: np.ndarray, F: int,
+                       qno_row=None, qsid_row=None) -> dict:
         packed = (cfg.wpos_bits is not None)
         out = fn(jnp.asarray(frags_u8), self._occ_hash, self._occ_sid,
                  self._occ_wpos, self._mi_hash, self._mi_sid,
@@ -417,8 +438,9 @@ class JitMapper:
                  self._gate, self._n_occ,
                  self._occ_packed if packed else None,
                  self._mi_packed if packed else None,
-                 self._mi_prev, self._mi_nxt)
-        return dict(out=out, F=F, frags=frags_u8, tight=(cfg is not self.cfg))
+                 self._mi_prev, self._mi_nxt, qno_row, qsid_row)
+        return dict(out=out, F=F, frags=frags_u8, tight=(cfg is not self.cfg),
+                    qno_row=qno_row, qsid_row=qsid_row)
 
     def collect(self, handle: dict) -> Dict[str, np.ndarray]:
         """Fetch one dispatched batch's results (blocking)."""
@@ -430,7 +452,8 @@ class JitMapper:
             # rebuild the tight variant around the larger observed maxima
             self._tuned = None
             return self.collect(self._dispatch_with(
-                self.cfg, self._fn, handle["frags"], F))
+                self.cfg, self._fn, handle["frags"], F,
+                handle["qno_row"], handle["qsid_row"]))
         n = int(counts[0])
         if n:
             # fetch a 256-bucketed prefix: a slice shaped by the exact row
@@ -441,8 +464,8 @@ class JitMapper:
             nb = min(U_cap, -(-n // 256) * 256)
             packed = np.asarray(out["packed"][:, :nb])[:, :n]
         else:
-            packed = np.zeros((5, 0), np.int32)
-        frag, sid, shared, sketch, mean_pos = packed
+            packed = np.zeros((7, 0), np.int32)
+        frag, qno, qsid, sid, shared, sketch, mean_pos = packed
 
         fallback = set()
         if counts[1]:  # fragment sketch overflow
@@ -465,9 +488,42 @@ class JitMapper:
             keep &= ~np.isin(frag, fb)
         else:
             fb = np.zeros(0, np.int32)
-        return dict(frag=frag[keep], sid=sid[keep], shared=shared[keep],
+        return dict(frag=frag[keep], qno=qno[keep], qsid=qsid[keep],
+                    sid=sid[keep], shared=shared[keep],
                     sketch=sketch[keep], mean_pos=mean_pos[keep],
                     fallback_frags=fb)
+
+    def collect_device(self, handle: dict):
+        """Like collect(), but leaves the packed rows ON DEVICE for the
+        device-CGI path: only the 10-int counts vector (and, rarely, the
+        overflow masks) crosses the device->host link.
+
+        Returns (packed (7, U_cap) device array, n_valid int,
+        fallback_frags (Fb,) int32 host array)."""
+        out, F = handle["out"], handle["F"]
+        counts = np.asarray(out["counts"])
+        self._update_seen(counts)
+        if handle["tight"] and counts[1:5].any():
+            self._tuned = None
+            return self.collect_device(self._dispatch_with(
+                self.cfg, self._fn, handle["frags"], F,
+                handle["qno_row"], handle["qsid_row"]))
+        fallback = set()
+        if counts[1]:
+            fallback |= set(np.nonzero(
+                np.asarray(out["frag_sketch_overflow"])[:F])[0].tolist())
+        if counts[2]:
+            fallback |= set(np.nonzero(
+                np.asarray(out["l1_overflow"])[:F])[0].tolist())
+        if counts[3]:
+            l2o = np.asarray(out["l2_overflow"])
+            uf = np.asarray(out["unit_frag"])
+            fallback |= set(uf[np.nonzero(l2o)[0]].tolist())
+        if counts[4]:
+            fallback = set(range(F))
+        fallback = {f for f in fallback if f < F}
+        fb = np.fromiter(sorted(fallback), np.int32, len(fallback))
+        return out["packed"], int(counts[0]), fb
 
     def __call__(self, frags_u8: np.ndarray) -> Dict[str, np.ndarray]:
         return self.collect(self.dispatch(frags_u8))

@@ -139,17 +139,42 @@ def build_events(qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
     overflow = u_valid & ((eL - b0) > ncap)
     eL_loc = jnp.clip(eL - b0, 0, ncap).astype(jnp.int32)
 
-    # per-entry query-rank attributes
-    from fastani_tpu.ops.xputils import batched_searchsorted, take_along
+    # per-entry query-rank attributes via compare-broadcast (binary-search
+    # gathers lower poorly on TPU; the (U, scap, ncap) compares fuse into
+    # the reduction and cost ~1 ms per 128-unit chunk)
+    from fastani_tpu.ops.xputils import take_along
 
     qh_u = qh[frag_of_unit]                       # (U, scap)
     s_u = s[frag_of_unit].astype(jnp.int32)       # (U,)
-    jr = batched_searchsorted(jnp, qh_u, lh, side="right")
-    ql = batched_searchsorted(jnp, qh_u, lh, side="left")
-    qlc = jnp.clip(ql, 0, qh_u.shape[-1] - 1)
-    inq = (ql < s_u[:, None]) & (take_along(jnp, qh_u, qlc, -1) == lh) \
-        & in_contig
+    scap = qh_u.shape[-1]
+    jrow3 = jnp.arange(scap, dtype=jnp.int32)[None, :, None]
+    lt = (qh_u[:, :, None] < lh[:, None, :])
+    eq = (qh_u[:, :, None] == lh[:, None, :])
+    ql = lt.sum(1).astype(jnp.int32)              # #{q < h} (== match index)
+    jr = ql + eq.sum(1).astype(jnp.int32)         # #{q <= h}
+    inq = (eq & (jrow3 < s_u[:, None, None])).any(1) & in_contig
     nonq = in_contig & ~inq
+
+    # distinct-membership change flags, PER ENTRY (closed form — avoids
+    # per-event gathers of prev/nxt):
+    #   entry e enters at serialized key (lp_e+1)<<2|0; leaves already
+    #   processed are exactly {i >= 1 : lp_i <= lp_e - C}, so its hash is
+    #   new iff prev[e] < that count;
+    #   entry e leaves at key (lp_e+C)<<2|1; enters already processed are
+    #   {j : lp_j <= lp_e + C - 1}, so its hash departs iff nxt[e] >= that.
+    ic3 = in_contig[:, None, :]
+    lb_at = (ic3 & (jnp.arange(ncap)[None, None, :] >= 1)
+             & (lp[:, None, :] <= (lp - C)[:, :, None])).sum(-1)
+    le_at = (ic3 & (lp[:, None, :] <= (lp + (C - 1))[:, :, None])).sum(-1)
+    eff_en = pv < lb_at.astype(jnp.int32)
+    eff_lv = nx >= le_at.astype(jnp.int32)
+
+    # one packed per-entry record -> ONE event-side gather (needs scap and
+    # therefore ql/jr <= 1023)
+    assert scap <= 1024, "sketch_cap exceeds the packed-record field width"
+    bit = lambda b, sh: b.astype(jnp.int32) << sh
+    rec = (ql | (jr << 10) | bit(inq, 20) | bit(nonq, 21)
+           | bit(eff_en, 22) | bit(eff_lv, 23))
 
     # serialized event merge: key = (value + C) << 2 | code
     offs = jnp.arange(ncap, dtype=jnp.int32)
@@ -169,18 +194,14 @@ def build_events(qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
     lb_t = jnp.cumsum(is_leave, axis=-1).astype(jnp.int32)
     le_t = jnp.cumsum(is_enter, axis=-1).astype(jnp.int32)
     ent = jnp.clip(jnp.where(is_enter, le_t, lb_t) - 1, 0, ncap - 1)
-    jr_e = take_along(jnp, jr, ent, -1)
-    jm_e = take_along(jnp, ql, ent, -1)
-    inq_e = take_along(jnp, inq, ent, -1)
-    nonq_e = take_along(jnp, nonq, ent, -1)
-    pv_e = take_along(jnp, pv, ent, -1)
-    nx_e = take_along(jnp, nx, ent, -1)
-    # distinct-membership change of the touched entry's hash
-    eff = jnp.where(is_enter, pv_e < lb_t, nx_e >= le_t)
+    rec_e = take_along(jnp, rec, ent, -1)
+    jm_e = rec_e & 0x3FF
+    jr_e = (rec_e >> 10) & 0x3FF
+    eff = jnp.where(is_enter, (rec_e >> 22) & 1, (rec_e >> 23) & 1) != 0
     sign = jnp.where(is_enter, 1, -1).astype(jnp.int32)
     live = is_enter | is_leave
-    dn = jnp.where(live & eff & nonq_e, sign, 0)
-    dq = jnp.where(live & eff & inq_e, sign, 0)
+    dn = jnp.where(live & eff & (((rec_e >> 21) & 1) != 0), sign, 0)
+    dq = jnp.where(live & eff & (((rec_e >> 20) & 1) != 0), sign, 0)
 
     U_ = keys.shape[0]
     run_end = jnp.concatenate(

@@ -12,6 +12,7 @@ reference — we standardize on the -t 1 form).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import sys
 import time
 from typing import Dict, List, Optional, Tuple
@@ -37,30 +38,37 @@ class QueryFragments:
 
 
 def load_query_fragments(path: str, params: Parameters) -> QueryFragments:
+    """Fragment one query genome into (F, frag_len) rows.
+
+    Array-native per contig (one uppercase pass + one reshape), so ingest
+    scales with bytes rather than fragment count — the reference fragments
+    inside its per-fragment mapping loop (computeMap.hpp:152-157)."""
     l = params.frag_len
     k, w = params.kmer_size, params.window_size
-    frag_rows: List[np.ndarray] = []
-    frag_ids: List[int] = []
-    vis_lens: List[int] = []
+    frag_blocks: List[np.ndarray] = []
+    id_blocks: List[np.ndarray] = []
+    vis_blocks: List[np.ndarray] = []
     seq_counter = 0
     for name, seq in fasta.read_sequences(path):
         L = len(seq)
         if L < w or L < k or L < l:
-            vis_lens.append(L)  # short contig: metadata only
+            vis_blocks.append(np.array([L], np.int64))  # metadata only
             continue
-        fragment_count = L // l
-        for i in range(fragment_count):
-            if i != fragment_count - 1:
-                vis_lens.append(l)
-            else:
-                vis_lens.append(l + (L % l))
-            frag_rows.append(hashing.upper_np(seq[i * l : (i + 1) * l]))
-            frag_ids.append(seq_counter + i)
-        seq_counter += fragment_count
-    frags = np.stack(frag_rows) if frag_rows else np.zeros((0, l), np.uint8)
-    lens = np.asarray(vis_lens, np.int64)
-    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]]) if len(lens) else np.zeros(0, np.int64)
-    return QueryFragments(frags, np.asarray(frag_ids, np.int32), seq_counter, offsets)
+        fc = L // l
+        frag_blocks.append(hashing.upper_np(seq[: fc * l]).reshape(fc, l))
+        id_blocks.append(np.arange(seq_counter, seq_counter + fc, dtype=np.int32))
+        lens = np.full(fc, l, np.int64)
+        lens[-1] = l + (L % l)
+        vis_blocks.append(lens)
+        seq_counter += fc
+    frags = np.concatenate(frag_blocks) if frag_blocks \
+        else np.zeros((0, l), np.uint8)
+    frag_ids = np.concatenate(id_blocks) if id_blocks \
+        else np.zeros(0, np.int32)
+    lens = np.concatenate(vis_blocks) if vis_blocks else np.zeros(0, np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]]) if len(lens) \
+        else np.zeros(0, np.int64)
+    return QueryFragments(frags, frag_ids, seq_counter, offsets)
 
 
 def map_query(query_frags: QueryFragments, index: ReferenceIndex,
@@ -211,6 +219,134 @@ def map_queries_batched(queries: List[QueryFragments], index: ReferenceIndex,
         out_list.append(dict(query_seq_id=qsid[sel], ref_seq_id=sid[sel],
                              ref_start_pos=start[sel], ident=ident[sel]))
     return out_list
+
+
+def map_queries_cgi_device(queries: List[QueryFragments], index: ReferenceIndex,
+                           params: Parameters, jit_mapper,
+                           n_query_genomes: int, n_ref_genomes: int):
+    """Throughput path: map all queries AND aggregate CGI on device.
+
+    Mapping rows never leave the device — each batch contributes its
+    packed (7, U_cap) block to a device-resident accumulator, and one
+    final jitted program (models/device_cgi.cgi_matrices) reduces them to
+    per-genome-pair (count, identity-sum) matrices.  Only those (Gq, Gr)
+    tallies plus a 10-int counts vector per batch cross the ~1 MB/s
+    device->host link, replacing the per-row fetch + Python aggregation
+    (the reference's equivalent work is computeCoreIdentity.hpp:166-298 on
+    host memory).  Per-pair sums are float32 device reductions — final-ulp
+    addition order may differ from the host fold; byte-parity consumers
+    use map_queries_batched + ani.compute_cgi_arrays instead.
+    """
+    import jax.numpy as jnp
+
+    from fastani_tpu.models import device_cgi
+    from fastani_tpu.utils import refmodel
+
+    B = params.frag_batch
+    L = params.frag_len
+    all_frags = np.concatenate([q.frags for q in queries]) \
+        if queries else np.zeros((0, L), np.uint8)
+    qno_of_row = np.concatenate([
+        np.full(len(q.frags), i, np.int32) for i, q in enumerate(queries)]) \
+        if queries else np.zeros(0, np.int32)
+    gid_of_row = np.concatenate([q.frag_ids for q in queries]) \
+        if queries else np.zeros(0, np.int32)
+    F = len(all_frags)
+    starts = list(range(0, F, B))
+
+    blocks: List = []          # (7, U_cap) device blocks, valid-first
+    n_valids: List[int] = []
+    fb_cols = {k: [] for k in ("qno", "qsid", "sid", "shared", "sketch",
+                               "pos")}
+    hindex = None
+
+    def handle_result(b0, packed, n_valid, fb):
+        blocks.append(packed)
+        n_valids.append(n_valid)
+        nonlocal hindex
+        for f in fb:
+            if hindex is None:
+                hindex = index.host_view()
+            row = b0 + int(f)
+            ms = refmodel.map_fragment(all_frags[row], hindex, params,
+                                       int(gid_of_row[row]))
+            for m in ms:
+                fb_cols["qno"].append(qno_of_row[row])
+                fb_cols["qsid"].append(m.query_seq_id)
+                fb_cols["sid"].append(m.ref_seq_id)
+                fb_cols["shared"].append(m.conserved)
+                fb_cols["sketch"].append(m.sketch_size)
+                fb_cols["pos"].append(m.ref_start_pos)
+
+    inflight = []
+    for b0 in starts:
+        sl = slice(b0, b0 + B)
+        inflight.append((b0, jit_mapper.dispatch(
+            all_frags[sl], qno_of_row[sl], gid_of_row[sl])))
+        if len(inflight) >= 2:
+            p0, h = inflight.pop(0)
+            handle_result(p0, *jit_mapper.collect_device(h))
+    for p0, h in inflight:
+        handle_result(p0, *jit_mapper.collect_device(h))
+
+    # assemble the device row set: concat blocks + host fallback rows,
+    # pow2-bucketed so the CGI program compiles once per size class
+    cols = []
+    valids = []
+    for blk, n in zip(blocks, n_valids):
+        cols.append(blk)
+        U = blk.shape[1]
+        v = np.zeros(U, bool)
+        v[:n] = True
+        valids.append(v)
+    n_fb = len(fb_cols["qno"])
+    if n_fb:
+        fb_blk = np.zeros((7, n_fb), np.int32)
+        fb_blk[1] = fb_cols["qno"]
+        fb_blk[2] = fb_cols["qsid"]
+        fb_blk[3] = fb_cols["sid"]
+        fb_blk[4] = fb_cols["shared"]
+        fb_blk[5] = fb_cols["sketch"]
+        fb_blk[6] = fb_cols["pos"]
+        cols.append(jnp.asarray(fb_blk))
+        valids.append(np.ones(n_fb, bool))
+    if not cols:
+        return (np.zeros((n_query_genomes, n_ref_genomes), np.int32),
+                np.zeros((n_query_genomes, n_ref_genomes), np.float32))
+    rows = jnp.concatenate(cols, axis=1)
+    valid = np.concatenate(valids)
+    N = rows.shape[1]
+    Np = max(128, 1 << (N - 1).bit_length())
+    if Np > N:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((7, Np - N), jnp.int32)], axis=1)
+        valid = np.concatenate([valid, np.zeros(Np - N, bool)])
+
+    s_max = max(params.sketch_cap, 1)
+    lut = jnp.asarray(device_cgi.identity_lut_full(params.kmer_size, s_max))
+    counts, sums = _cgi_matrices_jit(
+        rows[1], rows[2], rows[3], rows[4], rows[5], rows[6],
+        jnp.asarray(valid), jnp.asarray(index.genome_of_seq()), lut,
+        params.frag_len, n_query_genomes, n_ref_genomes)
+    return np.asarray(counts), np.asarray(sums)
+
+
+@functools.lru_cache(maxsize=None)
+def _cgi_jit_cached(frag_len: int, n_qg: int, n_rg: int):
+    import jax
+
+    from fastani_tpu.models import device_cgi
+
+    return jax.jit(functools.partial(device_cgi.cgi_matrices,
+                                     frag_len=frag_len,
+                                     n_query_genomes=n_qg,
+                                     n_ref_genomes=n_rg))
+
+
+def _cgi_matrices_jit(qno, qsid, sid, shared, sketch, pos, valid,
+                      genome_of_seq, lut, frag_len, n_qg, n_rg):
+    return _cgi_jit_cached(frag_len, n_qg, n_rg)(
+        qno, qsid, sid, shared, sketch, pos, valid, genome_of_seq, lut)
 
 
 def run(params: Parameters, backend: str = "numpy",

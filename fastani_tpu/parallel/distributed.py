@@ -163,6 +163,19 @@ def shard_index_arrays(plan: MultiHostPlan, sharded_index) -> dict:
     return out
 
 
+def gather_rows(gid_rows, ib_rows, n_rows) -> tuple:
+    """Fetch the (n_r, cap) survivor-row arrays + (n_r,) counts to every
+    host (the rows step's exact-fold inputs)."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return tuple(multihost_utils.process_allgather(a, tiled=False)
+                     for a in (gid_rows, ib_rows, n_rows))
+    return (np.asarray(gid_rows), np.asarray(ib_rows), np.asarray(n_rows))
+
+
 def gather_tallies(sum_ident, count) -> tuple:
     """Fetch (n_r, G) tally arrays to every host (process_allgather when
     multi-process; plain device_get single-process)."""

@@ -126,6 +126,104 @@ def build_sharded_index(params, ref_files: Sequence[str], n_r: int) -> ShardedIn
     )
 
 
+def make_sharded_rows_step(cfg: jitmap.MapperConfig, mesh: Mesh, s_max: int,
+                           k: int, frag_len: int, max_local_genomes: int,
+                           rows_cap: int):
+    """Sharded step that returns the 2-WAY SURVIVOR ROWS per reference
+    shard, in the exact 2-way sort order, instead of device-summed tallies.
+
+    The host folds each (shard, local genome)'s identities sequentially in
+    this order, reproducing the reference's per-thread float32 accumulation
+    BIT-FOR-BIT (each ref genome lives in exactly one shard, and the 2-way
+    sort order restricted to one shard's contigs equals the single-shard
+    order — the thread-invariance law of fastani_tests.cpp:199-255).
+
+    Returns (gid (n_r, rows_cap) i32 local genome per row (big=pad),
+             ibits (n_r, rows_cap) i32 identity float bits,
+             n_rows (n_r,) i32 survivor count; > rows_cap = overflow).
+    """
+    G = max_local_genomes
+
+    def local_step(frags, occ_hash, occ_sid, occ_wpos, mi_hash, mi_sid,
+                   mi_wpos, seq_start, gos, n_occ, min_hits, gate, ident2d):
+        keep2, gid2, ib2 = _map_and_dedupe(
+            cfg, s_max, frag_len, frags, occ_hash, occ_sid, occ_wpos,
+            mi_hash, mi_sid, mi_wpos, seq_start, gos, n_occ, min_hits,
+            gate, ident2d)
+        n = keep2.sum().astype(jnp.int32)
+        o3 = jnp.argsort(jnp.where(keep2, 0, 1).astype(jnp.int32),
+                         stable=True)[:rows_cap]
+        big = jnp.int32(2**30)
+        gid_c = jnp.where(keep2[o3], gid2[o3], big)
+        ib_c = jnp.where(keep2[o3], ib2[o3], 0)
+        return gid_c[None, :], ib_c[None, :], n[None]
+
+    fn = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("q", None, None),
+                  P("r", None), P("r", None), P("r", None),
+                  P("r", None), P("r", None), P("r", None),
+                  P("r", None), P("r", None), P("r"),
+                  P(), P(), P()),
+        out_specs=(P("r", None), P("r", None), P("r")),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def _map_and_dedupe(cfg, s_max, frag_len, frags, occ_hash, occ_sid, occ_wpos,
+                    mi_hash, mi_sid, mi_wpos, seq_start, gos, n_occ,
+                    min_hits, gate, ident2d):
+    """Shared shard-local body: map fragments, 1-way dedupe locally, gather
+    1-way survivors across q, 2-way dedupe on the gathered set.  Returns
+    (keep2, gid2, ibits2) over the q-gathered, 2-way-sorted rows (identical
+    on every q device)."""
+    frags = frags.reshape(frags.shape[-2:])
+    sq = lambda a: a.reshape(a.shape[-1:])
+    out = jitmap.map_step(cfg, frags, sq(occ_hash), sq(occ_sid),
+                          sq(occ_wpos), sq(mi_hash), sq(mi_sid),
+                          sq(mi_wpos), sq(seq_start), min_hits, gate,
+                          n_occ=sq(n_occ)[0])
+    gos1 = sq(gos)
+    frag_ids = out["frag"]
+    qidx = jax.lax.axis_index("q")
+    frag_g = frag_ids + qidx * frags.shape[0]
+    sid = out["sid"]
+    gid = gos1[jnp.clip(sid, 0, gos1.shape[0] - 1)]
+    ident = ident2d[jnp.clip(out["sketch"], 0, s_max),
+                    jnp.clip(out["shared"], 0, s_max)]
+    ibits = ident.view(jnp.int32)  # positive floats sort as ints
+    valid = out["valid"]
+
+    # ---- 1-way: keep best per (gid, frag): sort asc by
+    # (gid, frag, ident, sid, pos), keep last of each group
+    big = jnp.int32(2**30)
+    key_g = jnp.where(valid, gid, big)
+    key_f = jnp.where(valid, frag_g, big)
+    o1 = jnp.lexsort((out["mean_pos"], sid, ibits, key_f, key_g))
+    g1, f1 = key_g[o1], key_f[o1]
+    last1 = jnp.concatenate([(g1[:-1] != g1[1:]) | (f1[:-1] != f1[1:]),
+                             jnp.ones((1,), bool)])
+    keep1 = last1 & (g1 < big)
+
+    # ---- 2-way needs all 1-way survivors across the q axis
+    sid1 = sid[o1]
+    pos1 = out["mean_pos"][o1]
+    ib1 = ibits[o1]
+    gid1 = jnp.where(keep1, g1, big)
+    bin1 = jnp.where(keep1, pos1 // (frag_len - 20), big)
+    sid1m = jnp.where(keep1, sid1, big)
+    f1m = jnp.where(keep1, f1, big)
+    allg = lambda x: jax.lax.all_gather(x, "q", tiled=True)
+    sid_a, bin_a, ib_a, gid_a, f_a = map(allg, (sid1m, bin1, ib1, gid1, f1m))
+    o2 = jnp.lexsort((f_a, ib_a, bin_a, sid_a))
+    s2, b2 = sid_a[o2], bin_a[o2]
+    last2 = jnp.concatenate([(s2[:-1] != s2[1:]) | (b2[:-1] != b2[1:]),
+                             jnp.ones((1,), bool)])
+    keep2 = last2 & (s2 < big)
+    return keep2, gid_a[o2], ib_a[o2]
+
+
 def make_sharded_step(cfg: jitmap.MapperConfig, mesh: Mesh, s_max: int, k: int,
                       perc_identity: float, frag_len: int, max_local_genomes: int):
     """Build the jitted sharded many-to-many step for ONE query genome.

@@ -94,3 +94,56 @@ def test_sharded_step_matches_host(world):
     for g in want:
         assert got[g][0] == want[g][0], f"count mismatch for genome {g}"
         assert abs(got[g][1] - want[g][1]) < 1e-3, f"ANI mismatch for genome {g}"
+
+
+def test_cli_mesh_bit_identical_to_single(world, tmp_path):
+    """Product mesh path: CLI --mesh 2x4 output files must be BYTE-equal
+    to the single-device run (the reference's -t N invariance contract,
+    fastani_tests.cpp:199-255) — exact, no tolerance."""
+    params, refs, query = world
+    qpath = str(tmp_path / "query.fa")
+    synth.write_fasta(qpath, [("q0", query)])
+    lst = str(tmp_path / "refs.txt")
+    with open(lst, "w") as f:
+        f.write("\n".join(refs) + "\n")
+
+    from fastani_tpu import cli
+
+    single = str(tmp_path / "single.txt")
+    meshed = str(tmp_path / "meshed.txt")
+    base_args = ["-q", qpath, "--rl", lst, "--fragLen", "1000", "--matrix"]
+    assert cli.main(base_args + ["-o", single]) == 0
+    assert cli.main(base_args + ["-o", meshed, "--mesh", "2x4"]) == 0
+    a = open(single).read()
+    b = open(meshed).read()
+    assert a == b and a.strip()
+    assert open(single + ".matrix").read() == open(meshed + ".matrix").read()
+
+
+def test_runner_exact_vs_pipeline(world, tmp_path):
+    """run_sharded CGI rows equal pipeline.run rows bit-for-bit
+    (identity float32 equality, not approximate)."""
+    from fastani_tpu.config import Parameters
+    from fastani_tpu.models import pipeline
+    from fastani_tpu.parallel import runner
+
+    params, refs, query = world
+    qpath = str(tmp_path / "q.fa")
+    synth.write_fasta(qpath, [("q0", query)])
+
+    def mk():
+        p = Parameters(frag_len=1000)
+        p.window_size = params.window_size
+        p.ref_sequences = list(refs)
+        p.query_sequences = [qpath]
+        return p.finalize()
+
+    want = pipeline.run(mk(), backend="numpy")
+    got = runner.run_sharded(mk(), 2, 4, log=lambda m: None)
+    key = lambda r: (r.qry_genome, r.ref_genome)
+    want_d = {key(r): r for r in want}
+    got_d = {key(r): r for r in got}
+    assert set(want_d) == set(got_d)
+    for kk in want_d:
+        assert got_d[kk].count_seq == want_d[kk].count_seq, kk
+        assert np.float32(got_d[kk].identity) == np.float32(want_d[kk].identity), kk
