@@ -175,30 +175,45 @@ def main():
     print(json.dumps(result))
 
 
-def measure_hashing_gbps(n_contigs: int = 16, reps: int = 3) -> float:
+def measure_hashing_gbps(rows: int = 512, reps: int = 5) -> float:
     """Steady-state minimizer extraction (murmur3 fwd+rc + winnow +
-    compaction) throughput in Gbp/s on one batched device dispatch."""
+    per-row compaction) throughput in Gbp/s — the production index-build
+    producer (Pallas fused kernel on TPU, XLA pipeline elsewhere)."""
     import jax
     import jax.numpy as jnp
 
     from fastani_tpu.index import device_build as db
+    from fastani_tpu.ops import pallas_winnow as pw
 
     k, w = 16, 24
-    halo = w - 1
-    width = halo + db._CHUNK + k - 1
     rng = np.random.default_rng(7)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
-    buf = np.zeros((n_contigs, width), np.uint8)
-    buf[:, halo:halo + db._CHUNK] = bases[
-        rng.integers(0, 4, (n_contigs, db._CHUNK))]
-    lens = np.full(n_contigs, db._CHUNK, np.int32)
-    fn = db._chunk_batch_jit(k, w, db._CHUNK)
-    out = jax.block_until_ready(fn(jnp.asarray(buf), jnp.asarray(lens)))
+    use_pallas, interp = pw.pallas_mode()
+    if use_pallas:
+        buf = bases[rng.integers(0, 4, (rows, pw.SEG_W))].astype(np.uint8)
+        ctg = np.arange(rows, dtype=np.int32)
+        base = np.zeros(rows, np.int32)
+        lens = np.full(rows, pw.SEG_W, np.int32)
+        fn = db._pallas_batch_jit(k, w, rows, interp)
+        args = tuple(map(jnp.asarray, (buf, ctg, base, lens)))
+        n_bases = rows * pw.SEG_W
+    else:
+        n_contigs = 16
+        halo = w - 1
+        width = halo + db._CHUNK + k - 1
+        buf = np.zeros((n_contigs, width), np.uint8)
+        buf[:, halo:halo + db._CHUNK] = bases[
+            rng.integers(0, 4, (n_contigs, db._CHUNK))]
+        lens = np.full(n_contigs, db._CHUNK, np.int32)
+        fn = db._chunk_batch_jit(k, w, db._CHUNK)
+        args = (jnp.asarray(buf), jnp.asarray(lens))
+        n_bases = n_contigs * db._CHUNK
+    out = jax.block_until_ready(fn(*args))
     t0 = time.time()
     for _ in range(reps):
-        out = jax.block_until_ready(fn(jnp.asarray(buf), jnp.asarray(lens)))
+        out = jax.block_until_ready(fn(*args))
     dt = (time.time() - t0) / reps
-    return n_contigs * db._CHUNK / dt / 1e9
+    return n_bases / dt / 1e9
 
 
 def _backend_name():

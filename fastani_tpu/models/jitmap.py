@@ -194,7 +194,7 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
     s_u = s[u_frag]
     gated = l2_valid & (shared >= gate_lut[jnp.clip(s_u, 0, gate_lut.shape[0] - 1)])
 
-    # observed maxima (drive the capacity auto-tuner in JitMapper)
+    # observed maxima (diagnostics in the counts vector)
     max_span = jnp.int32(0)
     if u_b0 is not None:
         max_span = jnp.where(u_valid, u_eL - u_b0, 0).max().astype(jnp.int32)
@@ -272,25 +272,18 @@ class JitMapper:
     Only the valid prefix and a small counts vector cross the (slow)
     device->host link; the dense per-unit buffers stay on device.
 
-    Capacity auto-tuning: the default caps are sized for worst cases (the
-    L2 rank-table cost is ~O(T*ncap*scap) per unit chunk, so oversized
-    caps waste real FLOPs).  The first batch runs at default caps and
-    reports the observed maxima (hits, candidates, sketch size, window
-    span) in its counts vector; subsequent batches run a tighter compiled
-    variant sized to those maxima (+margin).  If a later batch overflows
-    the tight caps it is re-run at default caps (exact, already compiled)
-    and the tight variant is rebuilt with the new maxima.  Results are
-    bit-identical at any cap — caps only set buffer shapes.
+    Caps only set buffer shapes; results are bit-identical at any cap.
+    (A capacity auto-tuner existed in round 1; with the event-walk L2 the
+    tight caps bought ~6%, so it was removed — the counts vector still
+    reports observed maxima for diagnostics.)
 
     dispatch()/collect() expose the step asynchronously so the host can
     enqueue batch i+1 while the device runs batch i (the tunnel's H2D/D2H
     latency then overlaps device compute).
     """
 
-    _MAX_RETUNES = 3
-
     def __init__(self, params, index, unit_factor: int = 4,
-                 unit_chunk: int = 128, auto_tune: bool = True):
+                 unit_chunk: int = 128):
         self.params = params
         self.index = index
         self.cfg = MapperConfig.from_params(params, index.freq_threshold,
@@ -361,42 +354,6 @@ class JitMapper:
         ss[:S] = index.seq_start
         self._seq_start = jnp.asarray(ss)
         self._fn = jax.jit(functools.partial(map_step_packed, self.cfg))
-        self._auto = auto_tune and self.cfg.wpos_bits is not None
-        self._tuned = None            # (cfg, jitted fn) once built
-        self._seen = dict(hits=0, groups=0, s=0, span=0, batches=0)
-        self._retunes = 0
-
-    # ---- capacity auto-tuner ------------------------------------------------
-
-    def _update_seen(self, counts: np.ndarray) -> None:
-        s = self._seen
-        s["hits"] = max(s["hits"], int(counts[5]))
-        s["groups"] = max(s["groups"], int(counts[6]))
-        s["s"] = max(s["s"], int(counts[7]))
-        s["span"] = max(s["span"], int(counts[8]))
-        s["batches"] += 1
-
-    def _maybe_build_tuned(self) -> None:
-        if (not self._auto or self._tuned is not None
-                or self._seen["batches"] < 1
-                or self._retunes >= self._MAX_RETUNES):
-            return
-        c, s = self.cfg, self._seen
-        p2 = lambda v: 1 << max(int(v) - 1, 1).bit_length()
-        r128 = lambda v: max(128, -(-int(v) // 128) * 128)
-        tuned = dataclasses.replace(
-            c,
-            hits_cap=min(c.hits_cap, max(512, p2(s["hits"] * 1.3))),
-            cand_cap=min(c.cand_cap, max(8, p2(s["groups"] * 1.5 + 1))),
-            sketch_cap=min(c.sketch_cap, r128(s["s"] * 1.1 + 16)),
-            l2_entry_cap=min(c.l2_entry_cap, r128(s["span"] * 1.2 + 32)),
-        )
-        self._retunes += 1
-        if tuned == c:
-            self._tuned = (c, self._fn)
-        else:
-            self._tuned = (tuned, jax.jit(functools.partial(map_step_packed,
-                                                            tuned)))
 
     # ---- async two-phase interface -----------------------------------------
 
@@ -421,12 +378,7 @@ class JitMapper:
             out[:F] = m
             return jnp.asarray(out)
 
-        self._maybe_build_tuned()
-        if self._tuned is not None:
-            cfg, fn = self._tuned
-        else:
-            cfg, fn = self.cfg, self._fn
-        return self._dispatch_with(cfg, fn, frags_u8, F,
+        return self._dispatch_with(self.cfg, self._fn, frags_u8, F,
                                    pad_map(qno_row), pad_map(qsid_row))
 
     def _dispatch_with(self, cfg, fn, frags_u8: np.ndarray, F: int,
@@ -439,21 +391,12 @@ class JitMapper:
                  self._occ_packed if packed else None,
                  self._mi_packed if packed else None,
                  self._mi_prev, self._mi_nxt, qno_row, qsid_row)
-        return dict(out=out, F=F, frags=frags_u8, tight=(cfg is not self.cfg),
-                    qno_row=qno_row, qsid_row=qsid_row)
+        return dict(out=out, F=F)
 
     def collect(self, handle: dict) -> Dict[str, np.ndarray]:
         """Fetch one dispatched batch's results (blocking)."""
         out, F = handle["out"], handle["F"]
         counts = np.asarray(out["counts"])
-        self._update_seen(counts)
-        if handle["tight"] and counts[1:5].any():
-            # tight caps overflowed: exact re-run at default caps, and
-            # rebuild the tight variant around the larger observed maxima
-            self._tuned = None
-            return self.collect(self._dispatch_with(
-                self.cfg, self._fn, handle["frags"], F,
-                handle["qno_row"], handle["qsid_row"]))
         n = int(counts[0])
         if n:
             # fetch a 256-bucketed prefix: a slice shaped by the exact row
@@ -502,12 +445,6 @@ class JitMapper:
         fallback_frags (Fb,) int32 host array)."""
         out, F = handle["out"], handle["F"]
         counts = np.asarray(out["counts"])
-        self._update_seen(counts)
-        if handle["tight"] and counts[1:5].any():
-            self._tuned = None
-            return self.collect_device(self._dispatch_with(
-                self.cfg, self._fn, handle["frags"], F,
-                handle["qno_row"], handle["qsid_row"]))
         fallback = set()
         if counts[1]:
             fallback |= set(np.nonzero(

@@ -313,7 +313,12 @@ _RC_TABLE[ord("T")] = ord("A")
 _RC_TABLE[ord("C")] = ord("G")
 _RC_TABLE[ord("G")] = ord("C")
 
-_RC_TABLE_J = jnp.asarray(_RC_TABLE)
+def _rc_table_j():
+    # built per call, never cached: a module-level jnp.asarray would
+    # initialize the XLA backend at import time (breaking
+    # jax.distributed.initialize ordering), and caching the first result
+    # would leak a tracer when first touched inside a jit trace
+    return jnp.asarray(_RC_TABLE)
 
 
 def revcomp_np(seq: np.ndarray) -> np.ndarray:
@@ -321,13 +326,14 @@ def revcomp_np(seq: np.ndarray) -> np.ndarray:
 
 
 def revcomp_jax(seq_u8):
-    return _RC_TABLE_J[seq_u8][..., ::-1]
+    return _rc_table_j()[seq_u8][..., ::-1]
 
 
 _UPPER_TABLE = np.arange(256, dtype=np.uint8)
 for _c in range(ord("a"), ord("z") + 1):
     _UPPER_TABLE[_c] = _c - 32
-_UPPER_TABLE_J = jnp.asarray(_UPPER_TABLE)
+def _upper_table_j():
+    return jnp.asarray(_UPPER_TABLE)
 
 
 def upper_np(seq: np.ndarray) -> np.ndarray:
@@ -336,4 +342,4 @@ def upper_np(seq: np.ndarray) -> np.ndarray:
 
 
 def upper_jax(seq_u8):
-    return _UPPER_TABLE_J[seq_u8]
+    return _upper_table_j()[seq_u8]

@@ -1,0 +1,105 @@
+"""Pallas bitonic row-sort for uint32 keys.
+
+XLA:TPU's variadic sort runs at ~50-100 M elements/s and dominates the
+mapping pipeline (L1 hit sort, sketch sort, L2 event merge).  Rows here
+are independent power-of-two-width sorts, which a bitonic network does
+entirely in VMEM: the XOR-distance compare-exchange is two lane/sublane
+rolls plus selects (`pallas_winnow._shift`), ~10 vector ops per element
+per stage, n·log²(n)/2 stages — a (512, 4096) sort prices at well under
+a millisecond.
+
+Determinism note: bitonic networks are not stable.  Callers that need a
+stable order pack a tie-breaking index into the key (all in-repo call
+sites either sort pure values, where ties are interchangeable, or pack
+`(flag << B) | position` keys, which are unique).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from fastani_tpu.ops.pallas_winnow import _shift, pallas_mode
+
+_MAX_LANES = 2048          # per-block lane width (VMEM budget)
+
+
+def _sort_block_kernel(n: int, w8: int, x_ref, o_ref):
+    """Sort each n-aligned row inside one (8, w8) block, ascending u32."""
+    import jax
+    import jax.numpy as jnp
+
+    y = x_ref[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, w8), 1)
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, w8), 0)
+    flat = row8 * w8 + col
+    cn = flat & (n - 1)                      # index within the row
+    n_flat = 8 * w8
+    zero = jnp.uint32(0)
+
+    k = 2
+    while k <= n:
+        j = k // 2
+        while j >= 1:
+            up = (cn & j) == 0
+            pu = _shift(y, -j, zero, col, flat, n_flat, w8)
+            pd = _shift(y, j, zero, col, flat, n_flat, w8)
+            p = jnp.where(up, pu, pd)
+            c = y < p
+            mn = jnp.where(c, y, p)
+            mx = jnp.where(c, p, y)
+            asc = (cn & k) == 0
+            y = jnp.where(up == asc, mn, mx)
+            j //= 2
+        k *= 2
+    o_ref[0] = y
+
+
+@functools.lru_cache(maxsize=None)
+def _sort_call(n: int, blocks: int, m: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    w8 = m * n // 8
+    kern = functools.partial(_sort_block_kernel, n, w8)
+    spec = pl.BlockSpec((1, 8, w8), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(blocks,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((blocks, 8, w8), jnp.uint32),
+        interpret=interpret,
+    )
+
+
+def sort_rows_u32(x, interpret: bool = None):
+    """Ascending per-row sort of a (R, n) uint32 array; n a power of two,
+    n in [1024, 8192].  Returns the sorted array (same shape/dtype)."""
+    import jax.numpy as jnp
+
+    R, n = x.shape
+    assert n & (n - 1) == 0 and 1024 <= n <= 8192, n
+    if interpret is None:
+        use, interpret = pallas_mode()
+        assert use, "sort_rows_u32 called without a Pallas backend"
+    m = max(1, (8 * _MAX_LANES) // n)        # rows per block
+    Rp = -(-R // m) * m
+    xin = x.astype(jnp.uint32)
+    if Rp > R:
+        xin = jnp.concatenate(
+            [xin, jnp.full((Rp - R, n), jnp.uint32(0xFFFFFFFF))])
+    out = _sort_call(n, Rp // m, m, interpret)(xin.reshape(Rp // m, 8,
+                                                           m * n // 8))
+    return out.reshape(Rp, n)[:R]
+
+
+def use_pallas_sort(xp_is_jax: bool, n: int) -> bool:
+    """True when the Pallas row-sort applies (jax + TPU/interpret + pow2)."""
+    if not xp_is_jax or n & (n - 1) or not (1024 <= n <= 8192):
+        return False
+    return pallas_mode()[0]

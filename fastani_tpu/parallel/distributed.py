@@ -171,7 +171,9 @@ def gather_rows(gid_rows, ib_rows, n_rows) -> tuple:
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        return tuple(multihost_utils.process_allgather(a, tiled=False)
+        # tiled=True: the inputs are GLOBAL arrays sharded over the mesh's
+        # r axis; tiled gathering reassembles the full (n_r, ...) array
+        return tuple(multihost_utils.process_allgather(a, tiled=True)
                      for a in (gid_rows, ib_rows, n_rows))
     return (np.asarray(gid_rows), np.asarray(ib_rows), np.asarray(n_rows))
 
@@ -184,6 +186,6 @@ def gather_tallies(sum_ident, count) -> tuple:
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        return (multihost_utils.process_allgather(sum_ident, tiled=False),
-                multihost_utils.process_allgather(count, tiled=False))
+        return (multihost_utils.process_allgather(sum_ident, tiled=True),
+                multihost_utils.process_allgather(count, tiled=True))
     return np.asarray(sum_ident), np.asarray(count)

@@ -43,8 +43,9 @@ def run_sharded(params: Parameters, n_r: Optional[int] = None,
 
     from fastani_tpu.ops import stats
 
-    params.finalize()
+    # distributed bring-up MUST precede anything that initializes XLA
     pid = distributed.initialize(coordinator, num_processes, process_id)
+    params.finalize()
     plan = distributed.plan(params.ref_sequences, n_r, n_q)
     n_r, n_q = plan.n_r, plan.n_q
     log(f"INFO, fastani_tpu, sharded run on a {n_r}x{n_q} (r, q) mesh, "

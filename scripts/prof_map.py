@@ -92,30 +92,16 @@ def main():
           f"max_hits={int(np.asarray(l1.n_hits.max()))}, "
           f"max_groups={int(np.asarray(l1.n_groups.max()))})", flush=True)
 
-    # C: full step (default caps)
+    # C: full step
     dt, out = t(lambda f: mapper._fn(
         f, mapper._occ_hash, mapper._occ_sid, mapper._occ_wpos,
         mapper._mi_hash, mapper._mi_sid, mapper._mi_wpos, mapper._seq_start,
         mapper._min_hits, mapper._gate, mapper._n_occ, mapper._occ_packed,
-        mapper._mi_packed), fd)
+        mapper._mi_packed, mapper._mi_prev, mapper._mi_nxt), fd)
     counts = np.asarray(out["counts"])
-    print(f"C map_step (default cap): {dt*1e3:8.1f} ms  "
+    print(f"C map_step              : {dt*1e3:8.1f} ms  "
           f"(valid={counts[0]}, n_units={counts[9]}, max_span={counts[8]}, "
           f"max_s={counts[7]})", flush=True)
-
-    # C2: tuned caps
-    mapper._update_seen(counts)
-    mapper._maybe_build_tuned()
-    if mapper._tuned is not None:
-        tc, tfn = mapper._tuned
-        print(f"   tuned caps: hits={tc.hits_cap} cand={tc.cand_cap} "
-              f"sketch={tc.sketch_cap} l2={tc.l2_entry_cap}", flush=True)
-        dt, out2 = t(lambda f: tfn(
-            f, mapper._occ_hash, mapper._occ_sid, mapper._occ_wpos,
-            mapper._mi_hash, mapper._mi_sid, mapper._mi_wpos,
-            mapper._seq_start, mapper._min_hits, mapper._gate, mapper._n_occ,
-            mapper._occ_packed, mapper._mi_packed), fd)
-        print(f"C2 map_step (tuned)     : {dt*1e3:8.1f} ms", flush=True)
 
     # D: host round-trip of collect()
     h = mapper.dispatch(frags)

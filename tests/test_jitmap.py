@@ -48,29 +48,22 @@ def test_jit_mapper_matches_host_path(world):
     assert len(want) > 0
 
 
-def test_auto_tune_identical_results_and_escalation(world):
-    """Batches after the first run with auto-tuned (tight) caps; results
-    must be identical, and an overflow of the tight caps must escalate
-    back to default caps exactly (never silently truncate)."""
+def test_caps_do_not_change_results(world):
+    """Results are bit-identical across different capacity settings (caps
+    only size buffers; overflow falls back to the exact host model)."""
     params, index, frags = world
-    base = jitmap.JitMapper(params, index, unit_factor=4, unit_chunk=4,
-                            auto_tune=False)
-    tuned = jitmap.JitMapper(params, index, unit_factor=4, unit_chunk=4,
-                             auto_tune=True)
+    import copy
+
+    a = jitmap.JitMapper(params, index, unit_factor=4, unit_chunk=4)
+    p2 = copy.deepcopy(params)
+    p2.hits_cap = 1024
+    p2.cand_cap = 16
+    b = jitmap.JitMapper(p2, index, unit_factor=4, unit_chunk=8)
 
     def norm(o):
         return sorted(zip(o["frag"].tolist(), o["sid"].tolist(),
                           o["shared"].tolist(), o["sketch"].tolist(),
                           o["mean_pos"].tolist()))
 
-    # batch 0 (default caps) primes the tuner with tame maxima
-    tame = frags[3:4]  # random fragment: few hits
-    assert norm(tuned(tame)) == norm(base(tame))
-    if tuned._auto:
-        assert tuned._tuned is None or tuned._seen["batches"] >= 1
-    # batch 1 runs tight; the full fragment set has larger hit counts, so
-    # this exercises either the tight path or the escalation re-run
-    assert norm(tuned(frags)) == norm(base(frags))
-    # batch 2 after retune
-    assert norm(tuned(frags)) == norm(base(frags))
-    assert tuned._seen["batches"] >= 3
+    assert norm(a(frags)) == norm(b(frags))
+    assert len(norm(a(frags))) > 0
