@@ -184,8 +184,23 @@ def build_events(qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
     def pack(v, code):
         return (jnp.minimum(v + C, _CLAMP) << 2) | code
 
-    keys = jnp.sort(jnp.concatenate(
-        [pack(vb, 0), pack(va, 1), pack(sw0[:, None], 2)], axis=-1), axis=-1)
+    keys0 = jnp.concatenate(
+        [pack(vb, 0), pack(va, 1), pack(sw0[:, None], 2)], axis=-1)
+    from fastani_tpu.ops import pallas_sort
+
+    T0 = keys0.shape[-1]
+    Tp = max(1024, 1 << (T0 - 1).bit_length())
+    if pallas_sort.use_pallas_sort(True, Tp):
+        # keys are non-negative int32, so u32 order == int order; the
+        # (Tp - T0) UMAX pads sort past every real or clamped key and the
+        # slice drops exactly them
+        padded = jnp.concatenate(
+            [keys0.astype(jnp.uint32),
+             jnp.full((keys0.shape[0], Tp - T0), jnp.uint32(0xFFFFFFFF))],
+            axis=-1)
+        keys = pallas_sort.sort_rows_u32(padded)[:, :T0].astype(jnp.int32)
+    else:
+        keys = jnp.sort(keys0, axis=-1)
     vt = keys >> 2                          # event value + C
     code = keys & 3
     real = vt < _CLAMP

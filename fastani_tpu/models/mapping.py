@@ -154,7 +154,19 @@ def sketch_fragments(xp, frags_u8, k: int, w: int, scap: int):
     n = h.shape[-1]
     # single-key sort: un-emitted rows pushed to UMAX (an emitted minimizer
     # hash of exactly UMAX needs both strands ~2^-64 — ignored)
-    hk = xp.sort(xp.where(emit, h, xp.asarray(_UMAX)), axis=-1)
+    keys0 = xp.where(emit, h, xp.asarray(_UMAX))
+    psort = False
+    if is_jax(xp):
+        from fastani_tpu.ops import pallas_sort
+
+        n_pad = max(1024, 1 << (n - 1).bit_length())
+        psort = pallas_sort.use_pallas_sort(True, n_pad)
+    if psort:
+        pad = xp.full((F, n_pad - n), _UMAX, xp.uint32)
+        hk = pallas_sort.sort_rows_u32(
+            xp.concatenate([keys0, pad], axis=-1))[:, :n]
+    else:
+        hk = xp.sort(keys0, axis=-1)
     n_emit = emit.sum(axis=-1).astype(xp.int32)
     j = xp.arange(n, dtype=xp.int32)
     within = j < n_emit[:, None]
@@ -163,10 +175,22 @@ def sketch_fragments(xp, frags_u8, k: int, w: int, scap: int):
     s = first.sum(axis=-1).astype(xp.int32)
     # compact unique hashes to the front: stable 1-key sort on the first-flag
     # keeps ascending hash order within the kept group
-    order2 = xp.argsort(xp.where(first, 0, 1).astype(xp.int32), axis=-1,
-                        kind="stable") if not is_jax(xp) else \
-        xp.argsort(xp.where(first, 0, 1).astype(xp.int32), axis=-1, stable=True)
-    qh = take_along(xp, hk, order2, -1)[:, :scap]
+    if psort:
+        # (flag << B) | index keys = the same stable partition, in VMEM
+        sh = n_pad.bit_length()   # static python int
+        key2 = (((~first).astype(xp.uint32) << xp.uint32(sh))
+                | j.astype(xp.uint32))
+        key2 = xp.concatenate(
+            [key2, xp.full((F, n_pad - n), _UMAX, xp.uint32)], axis=-1)
+        order2 = (pallas_sort.sort_rows_u32(key2)[:, :scap]
+                  & xp.uint32((1 << sh) - 1)).astype(xp.int32)
+    elif not is_jax(xp):
+        order2 = xp.argsort(xp.where(first, 0, 1).astype(xp.int32), axis=-1,
+                            kind="stable")[:, :scap]
+    else:
+        order2 = xp.argsort(xp.where(first, 0, 1).astype(xp.int32), axis=-1,
+                            stable=True)[:, :scap]
+    qh = take_along(xp, hk, xp.clip(order2, 0, n - 1), -1)[:, :scap]
     jj = xp.arange(scap, dtype=xp.int32)
     qh = xp.where(jj < xp.minimum(s, scap)[:, None], qh, xp.asarray(_UMAX))
     overflow = s > scap
@@ -270,7 +294,15 @@ def l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos, min_hits_lut,
             key = ((occ_sid[src].astype(xp.uint32) << wpos_bits)
                    | (occ_wpos[src].astype(xp.uint32) & mask))
             key = xp.where(hvalid, key, xp.asarray(_UMAX))
-        key = xp.sort(key, axis=-1)
+        if is_jax(xp):
+            from fastani_tpu.ops import pallas_sort
+
+            if pallas_sort.use_pallas_sort(True, hits_cap):
+                key = pallas_sort.sort_rows_u32(key)
+            else:
+                key = xp.sort(key, axis=-1)
+        else:
+            key = xp.sort(key, axis=-1)
         hvalid = key != _UMAX
         hit_sid = xp.where(hvalid, (key >> wpos_bits).astype(xp.int32), _PINF)
         hit_wp = xp.where(hvalid, (key & mask).astype(xp.int32), _PINF)
@@ -319,8 +351,17 @@ def l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos, min_hits_lut,
     # group leaders: ONE binary-key argsort to collect their positions, all
     # gathers at (F, cand_cap) width (not hits_cap)
     if is_jax(xp):
-        lorder = xp.argsort(xp.where(new_group, 0, 1).astype(xp.int32),
-                            axis=-1, stable=True)[:, :cand_cap]
+        from fastani_tpu.ops import pallas_sort
+
+        if pallas_sort.use_pallas_sort(True, hits_cap):
+            sh = hits_cap.bit_length()   # static python int
+            k2 = (((~new_group).astype(xp.uint32) << xp.uint32(sh))
+                  | hidx.astype(xp.uint32))
+            lorder = (pallas_sort.sort_rows_u32(k2)[:, :cand_cap]
+                      & xp.uint32((1 << sh) - 1)).astype(xp.int32)
+        else:
+            lorder = xp.argsort(xp.where(new_group, 0, 1).astype(xp.int32),
+                                axis=-1, stable=True)[:, :cand_cap]
     else:
         lorder = xp.argsort(xp.where(new_group, 0, 1).astype(xp.int32),
                             axis=-1, kind="stable")[:, :cand_cap]

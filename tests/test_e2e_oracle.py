@@ -42,6 +42,17 @@ def workdir(tmp_path_factory):
     synth.write_fasta(wd / "strainA.fa", [("sA_ctg", strain_a)])
     synth.write_fasta(wd / "strainB.fa", [("sB_ctg", strain_b)])
     synth.write_fasta(wd / "multi.fa", multi)
+    # the .visual offset quirk (write_visual indexes query_offsets directly
+    # by querySeqId, replicating computeCoreIdentity.hpp:103-153): exercise
+    # a mapped contig AFTER a short one and the reverse order
+    synth.write_fasta(wd / "shortfirst.fa", [
+        ("sf_tiny", synth.random_genome(rng, 500)),
+        ("sf_big", synth.mutate_genome(rng, base[:90_000], 0.02)),
+    ])
+    synth.write_fasta(wd / "shortlast.fa", [
+        ("sl_big", synth.mutate_genome(rng, base[:90_000], 0.02)),
+        ("sl_tiny", synth.random_genome(rng, 500)),
+    ])
     (wd / "refs.txt").write_text("strainA.fa\nstrainB.fa\n")
     return wd
 
@@ -99,3 +110,16 @@ def test_repeat_sanity_check_zero_rows(workdir):
     run_ours(wd, ["-q", "rpt_q.fa", "-r", "rpt_r.fa", "-o", "r_our.txt",
                   "-s", "--matrix"])
     assert _read_sorted(wd / "r_our.txt") == _read_sorted(wd / "r_ref.txt") == []
+
+
+def test_visual_offsets_short_contig_both_orders(workdir):
+    """Byte-parity of .visual global query offsets when a short
+    (unmappable) contig precedes or follows the mapped contig — the
+    reference's offset bookkeeping quirk, both ways."""
+    wd = workdir
+    for tag, q in (("sf", "shortfirst.fa"), ("sl", "shortlast.fa")):
+        synth.run_oracle(str(wd), ["-q", q, "--rl", "refs.txt",
+                                   "-o", f"{tag}_ref.txt", "--visualize"])
+        run_ours(wd, ["-q", q, "--rl", "refs.txt", "-o", f"{tag}_our.txt",
+                      "--visualize"])
+        compare_outputs(wd, f"{tag}_our.txt", f"{tag}_ref.txt", visual=True)
