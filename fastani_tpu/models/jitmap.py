@@ -118,14 +118,35 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
     u_start = l1.start.reshape(-1)
     u_end = l1.end.reshape(-1)
     u_valid = l1.valid.reshape(-1)
-    order = jnp.argsort(jnp.where(u_valid, 0, 1).astype(jnp.int32), stable=True)
-    take = order[: cfg.unit_cap]
-    u_frag = u_frag[take]
-    u_sid = u_sid[take]
-    u_start = u_start[take]
-    u_end = u_end[take]
-    u_valid = u_valid[take]
-    unit_overflow = u_valid.sum() < l1.valid.sum()  # units dropped
+    n_valid_units = l1.valid.sum().astype(jnp.int32)
+    from fastani_tpu.ops import pallas_compact
+
+    N_grid = F * cfg.cand_cap
+    if pallas_compact.use_pallas_compact(True, N_grid):
+        # butterfly compaction: valid units to the front, stable (frag-major
+        # order preserved), one VMEM pass instead of a full-width argsort
+        # plus five gathers
+        u_sid, u_start, u_end, u_frag = (a[0, : cfg.unit_cap]
+                                         for a in pallas_compact.compact_rows(
+            u_valid.reshape(1, -1),
+            [(u_sid.reshape(1, -1), 0), (u_start.reshape(1, -1), 0),
+             (u_end.reshape(1, -1), 0), (u_frag.reshape(1, -1), 0)]))
+        u_valid = jnp.arange(cfg.unit_cap, dtype=jnp.int32) < n_valid_units
+    else:
+        order = jnp.argsort(jnp.where(u_valid, 0, 1).astype(jnp.int32),
+                            stable=True)
+        take = order[: cfg.unit_cap]
+        u_frag = u_frag[take]
+        u_sid = u_sid[take]
+        u_start = u_start[take]
+        u_end = u_end[take]
+        u_valid = u_valid[take]
+    unit_overflow = n_valid_units > cfg.unit_cap  # units dropped
+    # exact per-fragment attribution of dropped units: valid units keep
+    # fragment-major order under the stable compaction, so fragment f's
+    # units occupy [cum_excl[f], cum[f]); any beyond U_cap are dropped
+    nvf = l1.valid.sum(axis=-1).astype(jnp.int32)            # (F,)
+    unit_drop_frag = (jnp.cumsum(nvf) > cfg.unit_cap) & (nvf > 0)
 
     # batch-level window location: with packed (seqId,wpos) keys both
     # positional searches run as ONE sort-based searchsorted over the whole
@@ -205,6 +226,7 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
         l1_overflow=l1.overflow,               # (F,)
         l2_overflow=l2_over, l2_unit_valid=l2_valid,
         unit_frag_overflow=unit_overflow,
+        unit_drop_frag=unit_drop_frag,         # (F,) exact drop attribution
         max_hits=l1.n_hits.max().astype(jnp.int32),
         max_groups=l1.n_groups.max().astype(jnp.int32),
         max_s=s.max().astype(jnp.int32),
@@ -254,6 +276,7 @@ def map_step_packed(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
         frag_sketch_overflow=out["frag_sketch_overflow"],
         l1_overflow=out["l1_overflow"],
         l2_overflow=out["l2_overflow"],
+        unit_drop_frag=out["unit_drop_frag"],
         unit_frag=out["frag"],
     )
 
@@ -421,8 +444,9 @@ class JitMapper:
             l2o = np.asarray(out["l2_overflow"])
             uf = np.asarray(out["unit_frag"])
             fallback |= set(uf[np.nonzero(l2o)[0]].tolist())
-        if counts[4]:  # unit-list truncation: all fragments suspect
-            fallback |= set(range(F))
+        if counts[4]:  # unit-list truncation: exact per-fragment attribution
+            fallback |= set(np.nonzero(
+                np.asarray(out["unit_drop_frag"])[:F])[0].tolist())
         fallback = {f for f in fallback if f < F}
 
         keep = frag < F
@@ -457,7 +481,8 @@ class JitMapper:
             uf = np.asarray(out["unit_frag"])
             fallback |= set(uf[np.nonzero(l2o)[0]].tolist())
         if counts[4]:
-            fallback = set(range(F))
+            fallback |= set(np.nonzero(
+                np.asarray(out["unit_drop_frag"])[:F])[0].tolist())
         fallback = {f for f in fallback if f < F}
         fb = np.fromiter(sorted(fallback), np.int32, len(fallback))
         return out["packed"], int(counts[0]), fb

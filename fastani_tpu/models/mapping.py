@@ -162,35 +162,36 @@ def sketch_fragments(xp, frags_u8, k: int, w: int, scap: int):
         n_pad = max(1024, 1 << (n - 1).bit_length())
         psort = pallas_sort.use_pallas_sort(True, n_pad)
     if psort:
+        # keep the sorted keys at the padded pow-2 width: the dedupe
+        # compaction below runs at the same width in VMEM
         pad = xp.full((F, n_pad - n), _UMAX, xp.uint32)
-        hk = pallas_sort.sort_rows_u32(
-            xp.concatenate([keys0, pad], axis=-1))[:, :n]
+        hk = pallas_sort.sort_rows_u32(xp.concatenate([keys0, pad], axis=-1))
+        nw = n_pad
     else:
         hk = xp.sort(keys0, axis=-1)
+        nw = n
     n_emit = emit.sum(axis=-1).astype(xp.int32)
-    j = xp.arange(n, dtype=xp.int32)
+    j = xp.arange(nw, dtype=xp.int32)
     within = j < n_emit[:, None]
     prev = xp.concatenate([xp.full((F, 1), _UMAX, xp.uint32), hk[..., :-1]], axis=-1)
     first = within & ((j == 0) | (hk != prev))
     s = first.sum(axis=-1).astype(xp.int32)
-    # compact unique hashes to the front: stable 1-key sort on the first-flag
-    # keeps ascending hash order within the kept group
+    # compact unique hashes to the front (stable, so ascending hash order
+    # is preserved): butterfly compaction delivers the VALUES directly —
+    # no partition sort, no gather (computeMap.hpp:268-274 sort+unique)
     if psort:
-        # (flag << B) | index keys = the same stable partition, in VMEM
-        sh = n_pad.bit_length()   # static python int
-        key2 = (((~first).astype(xp.uint32) << xp.uint32(sh))
-                | j.astype(xp.uint32))
-        key2 = xp.concatenate(
-            [key2, xp.full((F, n_pad - n), _UMAX, xp.uint32)], axis=-1)
-        order2 = (pallas_sort.sort_rows_u32(key2)[:, :scap]
-                  & xp.uint32((1 << sh) - 1)).astype(xp.int32)
-    elif not is_jax(xp):
-        order2 = xp.argsort(xp.where(first, 0, 1).astype(xp.int32), axis=-1,
-                            kind="stable")[:, :scap]
+        from fastani_tpu.ops import pallas_compact
+
+        (qh,) = pallas_compact.compact_rows(first, [(hk, _UMAX)])
+        qh = qh[:, :scap]
     else:
-        order2 = xp.argsort(xp.where(first, 0, 1).astype(xp.int32), axis=-1,
-                            stable=True)[:, :scap]
-    qh = take_along(xp, hk, xp.clip(order2, 0, n - 1), -1)[:, :scap]
+        if not is_jax(xp):
+            order2 = xp.argsort(xp.where(first, 0, 1).astype(xp.int32),
+                                axis=-1, kind="stable")[:, :scap]
+        else:
+            order2 = xp.argsort(xp.where(first, 0, 1).astype(xp.int32),
+                                axis=-1, stable=True)[:, :scap]
+        qh = take_along(xp, hk, xp.clip(order2, 0, nw - 1), -1)[:, :scap]
     jj = xp.arange(scap, dtype=xp.int32)
     qh = xp.where(jj < xp.minimum(s, scap)[:, None], qh, xp.asarray(_UMAX))
     overflow = s > scap
@@ -348,26 +349,30 @@ def l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos, min_hits_lut,
     n_groups = new_group.sum(axis=-1).astype(xp.int32)
     overflow = overflow | (n_groups > cand_cap)
 
-    # group leaders: ONE binary-key argsort to collect their positions, all
-    # gathers at (F, cand_cap) width (not hits_cap)
-    if is_jax(xp):
-        from fastani_tpu.ops import pallas_sort
+    # group leaders: butterfly compaction moves (sid, start, position)
+    # triples of leader rows to the front in one VMEM pass — replaces the
+    # binary-key sort + (F, cand_cap) gathers
+    from fastani_tpu.ops import pallas_compact
 
-        if pallas_sort.use_pallas_sort(True, hits_cap):
-            sh = hits_cap.bit_length()   # static python int
-            k2 = (((~new_group).astype(xp.uint32) << xp.uint32(sh))
-                  | hidx.astype(xp.uint32))
-            lorder = (pallas_sort.sort_rows_u32(k2)[:, :cand_cap]
-                      & xp.uint32((1 << sh) - 1)).astype(xp.int32)
-        else:
+    if pallas_compact.use_pallas_compact(is_jax(xp), hits_cap):
+        hidx_b = xp.broadcast_to(hidx, new_group.shape).astype(xp.int32)
+        g_sid, g_start, lpos = pallas_compact.compact_rows(
+            new_group, [(hit_sid.astype(xp.int32), -1),
+                        (cand_start.astype(xp.int32), 0),
+                        (hidx_b, hits_cap)])
+        g_sid = g_sid[:, :cand_cap]
+        g_start = g_start[:, :cand_cap]
+        lpos = lpos[:, :cand_cap]
+    else:
+        if is_jax(xp):
             lorder = xp.argsort(xp.where(new_group, 0, 1).astype(xp.int32),
                                 axis=-1, stable=True)[:, :cand_cap]
-    else:
-        lorder = xp.argsort(xp.where(new_group, 0, 1).astype(xp.int32),
-                            axis=-1, kind="stable")[:, :cand_cap]
-    lpos = lorder  # leader positions ARE original hit-row indices
-    g_sid = take_along(xp, hit_sid, lorder, -1).astype(xp.int32)
-    g_start = take_along(xp, cand_start, lorder, -1).astype(xp.int32)
+        else:
+            lorder = xp.argsort(xp.where(new_group, 0, 1).astype(xp.int32),
+                                axis=-1, kind="stable")[:, :cand_cap]
+        lpos = lorder  # leader positions ARE original hit-row indices
+        g_sid = take_along(xp, hit_sid, lorder, -1).astype(xp.int32)
+        g_start = take_along(xp, cand_start, lorder, -1).astype(xp.int32)
     g_valid = xp.arange(cand_cap, dtype=xp.int32) < xp.minimum(n_groups, cand_cap)[:, None]
     next_lpos = xp.concatenate([lpos[:, 1:], xp.full((F, 1), hits_cap, xp.int32)], axis=-1)
     gcount = xp.arange(cand_cap, dtype=xp.int32)

@@ -1,0 +1,172 @@
+"""Pallas butterfly stream-compaction for row-aligned flagged data.
+
+Stable per-row compaction: values at flagged positions move to the front
+of their row, order preserved.  This is THE core data movement of the
+engine — winnow emit-compaction (reference semantics commonFunc.hpp:152-161
+produce a sparse emit mask that must pack into dense minimizer lists),
+fragment-sketch dedup (computeMap.hpp:268-274), L1 candidate-leader
+collection (computeMap.hpp:338-350) and the valid-first work-unit pack all
+reduce to it.
+
+Previous rounds routed these through full sorts (XLA variadic sort, then a
+Pallas bitonic network: n·log²n compare-exchanges) or through XLA scatters
+(which serialize on TPU).  Stable 0/1-key compaction is much cheaper than
+a general sort: with
+
+    dist[i] = i - (# flagged before i)      (left-shift distance)
+
+`dist` is non-decreasing along the row, and the classic butterfly network
+(process distance bits LSB->MSB; an element moves left by 2^b when bit b of
+its remaining distance is set) is collision-free for monotone distances:
+element positions stay strictly increasing at every stage, so a move never
+lands on a live element.  Vacated slots are cleared to the fill value so no
+stale copies ("ghosts") keep moving.  Cost: log2(n) prefix-sum stages +
+log2(n) move stages, each a couple of lane/sublane rolls + selects per
+array — ~25x fewer vector ops than the bitonic sort for n = 1024.
+
+All data stays in VMEM; shifted neighbour access reuses the roll+select
+`_shift` of ops/pallas_winnow (never a gather).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from fastani_tpu.ops.pallas_winnow import _shift, pallas_mode
+
+_MAX_LANES = 2048        # per-block lane width target (VMEM budget)
+_MAX_N = 32768           # single-row ceiling: (8, 4096) block, 1 row
+
+
+def _compact_block_kernel(n: int, w8: int, fills, f_ref, *refs):
+    """Compact each n-aligned row inside one (8, w8) block.
+
+    refs = n_pay input refs followed by n_pay output refs; fills holds the
+    static clear value per payload.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n_pay = len(fills)
+    in_refs = refs[:n_pay]
+    out_refs = refs[n_pay:]
+
+    e = f_ref[0]                                  # (8, w8) int32 0/1 flags
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, w8), 1)
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, w8), 0)
+    flat = row8 * w8 + col
+    n_flat = 8 * w8
+    cn = flat & (n - 1)                           # index within the n-row
+
+    sh = lambda x, s, fill: _shift(x, s, fill, col, flat, n_flat, w8)
+
+    # inclusive prefix count of flags within each row (Hillis-Steele)
+    acc = e
+    d = 1
+    while d < n:
+        s = sh(acc, d, 0)
+        acc = acc + jnp.where(cn >= d, s, 0)
+        d *= 2
+    # left-shift distance; 0 for un-flagged elements (they never move and
+    # are freely overwritten)
+    dist = jnp.where(e != 0, cn - (acc - e), 0)
+
+    arrs = [r[0] for r in in_refs]
+    s = 1
+    while s < n:
+        dsrc = sh(dist, -s, 0)                    # dist of element at i+s
+        ok = cn < (n - s)                         # source in the same row
+        arrive = ok & ((dsrc & s) != 0)
+        leave = (dist & s) != 0
+        new_arrs = []
+        for a, fill in zip(arrs, fills):
+            src = sh(a, -s, a.dtype.type(0))
+            new_arrs.append(jnp.where(arrive, src,
+                                      jnp.where(leave, a.dtype.type(fill), a)))
+        arrs = new_arrs
+        dist = jnp.where(arrive, dsrc - s, jnp.where(leave, 0, dist))
+        s *= 2
+
+    # clear the tail beyond the compacted prefix (slots that never received
+    # an arrival may hold un-flagged originals)
+    cnt_row = acc                                  # value at cn==n-1 is count
+    # broadcast the row count to every lane of the row: max-scan trick —
+    # count is non-decreasing within the row, so suffix max == last value;
+    # reuse doubling shifts (left-looking max)
+    total = acc
+    d = 1
+    while d < n:
+        s2 = sh(total, -d, 0)
+        total = jnp.maximum(total, jnp.where(cn < n - d, s2, 0))
+        d *= 2
+    keep = cn < total
+    for r, a, fill in zip(out_refs, arrs, fills):
+        r[0] = jnp.where(keep, a, a.dtype.type(fill))
+    del cnt_row
+
+
+@functools.lru_cache(maxsize=None)
+def _compact_call(n: int, blocks: int, m: int, dtypes, fills,
+                  interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    w8 = m * n // 8
+    kern = functools.partial(_compact_block_kernel, n, w8, fills)
+    spec = pl.BlockSpec((1, 8, w8), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    n_pay = len(fills)
+    return pl.pallas_call(
+        kern,
+        grid=(blocks,),
+        in_specs=[spec] * (1 + n_pay),
+        out_specs=tuple([spec] * n_pay),
+        out_shape=tuple(jax.ShapeDtypeStruct((blocks, 8, w8),
+                                             jnp.dtype(dt))
+                        for dt in dtypes),
+        interpret=interpret,
+    )
+
+
+def compact_rows(flags, payloads, interpret: bool = None):
+    """Stable per-row compaction of `payloads` by `flags`.
+
+    flags: (R, n) bool/int32, n a power of two in [128, 32768].
+    payloads: sequence of (array (R, n), fill) pairs; int32/uint32 dtypes.
+    Returns the compacted arrays (same shapes): row r holds the flagged
+    values of row r in original order at [0, cnt_r), `fill` beyond.
+    """
+    import jax.numpy as jnp
+
+    R, n = flags.shape
+    assert n & (n - 1) == 0 and 128 <= n <= _MAX_N, n
+    if interpret is None:
+        use, interpret = pallas_mode()
+        assert use, "compact_rows called without a Pallas backend"
+    m = max(1, min(8 * _MAX_LANES, _MAX_N) // n)   # rows per block
+    Rp = -(-R // m) * m
+    f = flags.astype(jnp.int32)
+    arrs = [a for a, _ in payloads]
+    fills = tuple(int(fill) for _, fill in payloads)
+    dtypes = tuple(str(a.dtype) for a in arrs)
+    if Rp > R:
+        pad = lambda x, v: jnp.concatenate(
+            [x, jnp.full((Rp - R, n), v, x.dtype)])
+        f = pad(f, 0)
+        arrs = [pad(a, fl) for a, (_, fl) in zip(arrs, payloads)]
+    call = _compact_call(n, Rp // m, m, dtypes, fills, interpret)
+    outs = call(f.reshape(Rp // m, 8, m * n // 8),
+                *[a.reshape(Rp // m, 8, m * n // 8) for a in arrs])
+    return tuple(o.reshape(Rp, n)[:R] for o in outs)
+
+
+def use_pallas_compact(xp_is_jax: bool, n: int) -> bool:
+    """True when the Pallas compaction applies (jax + TPU/interpret +
+    pow2 width in range)."""
+    if not xp_is_jax or n & (n - 1) or not (128 <= n <= _MAX_N):
+        return False
+    return pallas_mode()[0]
