@@ -63,6 +63,9 @@ class MapperConfig:
     # static (seqId, wpos) -> uint32 packing width for the L1 hit sort;
     # None when the index ranges don't fit 32 bits (falls back to lexsort)
     wpos_bits: "int | None" = None
+    # bucket-LUT searchsorted descent rounds (0 = use method="sort")
+    occ_rounds: int = 0
+    mi_rounds: int = 0
 
     @classmethod
     def from_params(cls, params, freq_threshold: int, unit_factor: int = 4,
@@ -94,7 +97,7 @@ class MapperConfig:
 def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
              mi_hash, mi_sid, mi_wpos, seq_start, min_hits_lut, gate_lut,
              n_occ=None, occ_packed=None, mi_packed=None,
-             mi_prev=None, mi_nxt=None):
+             mi_prev=None, mi_nxt=None, occ_lut=None, mi_lut=None):
     """One fragment batch against one index shard.  Pure function of arrays.
 
     Index arrays may be padded (pow-2 bucketed for compile reuse); n_occ is
@@ -110,7 +113,8 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
     l1 = mapping.l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos,
                                min_hits_lut, cfg.freq_threshold, l,
                                cfg.hits_cap, cfg.cand_cap, n_occ=n_occ,
-                               wpos_bits=cfg.wpos_bits, occ_packed=occ_packed)
+                               wpos_bits=cfg.wpos_bits, occ_packed=occ_packed,
+                               occ_lut=occ_lut, occ_rounds=cfg.occ_rounds)
 
     # flatten + compact the candidate grid to U_cap units on device
     u_frag = jnp.repeat(jnp.arange(F, dtype=jnp.int32), cfg.cand_cap)
@@ -158,8 +162,14 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
         sid_m = jnp.where(u_valid, u_sid, 0).astype(jnp.uint32)
         key = lambda pos: (sid_m << bits) | pos.astype(jnp.uint32)
         q2 = jnp.concatenate([key(u_start), key(u_end + l)])
-        r2 = jnp.searchsorted(mi_packed, q2, side="left",
-                              method="sort").astype(jnp.int32)
+        if mi_lut is not None:
+            from fastani_tpu.ops.xputils import lut_searchsorted
+
+            r2 = lut_searchsorted(jnp, mi_packed, mi_lut, q2,
+                                  cfg.mi_rounds, "left")
+        else:
+            r2 = jnp.searchsorted(mi_packed, q2, side="left",
+                                  method="sort").astype(jnp.int32)
         r2 = jnp.minimum(r2, n_occ)
         u_b0, u_eL = r2[: u_sid.shape[0]], r2[u_sid.shape[0]:]
 
@@ -238,7 +248,8 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
 def map_step_packed(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
                     mi_hash, mi_sid, mi_wpos, seq_start, min_hits_lut,
                     gate_lut, n_occ=None, occ_packed=None, mi_packed=None,
-                    mi_prev=None, mi_nxt=None, qno_row=None, qsid_row=None):
+                    mi_prev=None, mi_nxt=None, occ_lut=None, mi_lut=None,
+                    qno_row=None, qsid_row=None):
     """map_step + device-side compaction for host consumption.
 
     The session TPU's device->host link runs at ~1 MB/s with ~30 ms
@@ -253,7 +264,8 @@ def map_step_packed(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
     out = map_step(cfg, frags, occ_hash, occ_sid, occ_wpos, mi_hash, mi_sid,
                    mi_wpos, seq_start, min_hits_lut, gate_lut, n_occ=n_occ,
                    occ_packed=occ_packed, mi_packed=mi_packed,
-                   mi_prev=mi_prev, mi_nxt=mi_nxt)
+                   mi_prev=mi_prev, mi_nxt=mi_nxt, occ_lut=occ_lut,
+                   mi_lut=mi_lut)
     keep = out["valid"]
     corder = jnp.argsort(jnp.where(keep, 0, 1).astype(jnp.int32), stable=True)
     frag = out["frag"]
@@ -363,6 +375,27 @@ class JitMapper:
         else:
             self._occ_packed = self._occ_hash  # unused placeholder
             self._mi_packed = self._mi_hash
+        # bucket LUTs for the per-batch searchsorted probes: one-time
+        # device build + a tiny host fetch to fix the (static) descent
+        # round count; rounds are ceil'd to even so near-identical indexes
+        # reuse the compiled step
+        from fastani_tpu.ops import xputils
+
+        self._occ_lut = jnp.minimum(
+            xputils.build_prefix_lut(jnp, self._occ_hash), self._n_occ)
+        occ_rounds = -(-max(xputils.lut_rounds(np.asarray(self._occ_lut)),
+                            4) // 2) * 2
+        if self.cfg.wpos_bits is not None:
+            self._mi_lut = jnp.minimum(
+                xputils.build_prefix_lut(jnp, self._mi_packed), self._n_occ)
+            mi_rounds = -(-max(xputils.lut_rounds(np.asarray(self._mi_lut)),
+                               4) // 2) * 2
+        else:
+            self._mi_lut = None
+            mi_rounds = 0
+        self.cfg = dataclasses.replace(self.cfg, occ_rounds=occ_rounds,
+                                       mi_rounds=mi_rounds)
+
         # per-entry previous/next same-(hash, seqId) occurrence links: the
         # L2 event walk decides distinct-membership changes from them
         # (replaces the reference's ordered-map presence checks,
@@ -413,7 +446,8 @@ class JitMapper:
                  self._gate, self._n_occ,
                  self._occ_packed if packed else None,
                  self._mi_packed if packed else None,
-                 self._mi_prev, self._mi_nxt, qno_row, qsid_row)
+                 self._mi_prev, self._mi_nxt, self._occ_lut,
+                 self._mi_lut if packed else None, qno_row, qsid_row)
         return dict(out=out, F=F)
 
     def collect(self, handle: dict) -> Dict[str, np.ndarray]:

@@ -230,7 +230,8 @@ _register_pytree(L1Result)
 
 def l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos, min_hits_lut,
                   freq_threshold: int, frag_len: int, hits_cap: int, cand_cap: int,
-                  n_occ=None, wpos_bits: Optional[int] = None, occ_packed=None):
+                  n_occ=None, wpos_bits: Optional[int] = None, occ_packed=None,
+                  occ_lut=None, occ_rounds: int = 0):
     """Batched L1 stage.  qh (F, scap) sorted unique hashes (UMAX padded).
 
     n_occ (traced scalar, optional): true entry count when occ arrays are
@@ -246,7 +247,16 @@ def l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos, min_hits_lut,
     M = occ_hash.shape[0]
     jj = xp.arange(scap, dtype=xp.int32)
     qvalid = jj < s[:, None]
-    if is_jax(xp):
+    if is_jax(xp) and occ_lut is not None:
+        # bucket-LUT probe: the occurrence table is static per index, so a
+        # one-time 2^16-bucket LUT + a few binary-descent gather rounds
+        # replace XLA's method="sort" searchsorted, which re-sorts the
+        # whole ~M-entry table on EVERY batch (the round-2 L1 bottleneck)
+        from fastani_tpu.ops.xputils import lut_searchsorted
+
+        lo = lut_searchsorted(xp, occ_hash, occ_lut, qh, occ_rounds, "left")
+        hi = lut_searchsorted(xp, occ_hash, occ_lut, qh, occ_rounds, "right")
+    elif is_jax(xp):
         # the sort-based lowering beats the default scan on TPU (~3x); one
         # fused call: right-bound of integer hash h == left-bound of h+1
         # (UMAX wrap lands in the pad region, removed by the n_occ clamp)

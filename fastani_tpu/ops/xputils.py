@@ -142,6 +142,54 @@ def last_event_value(xp, event, val, seed):
     return v, has
 
 
+def build_prefix_lut(xp, table, n_valid=None):
+    """Bucket table for lut_searchsorted: lut[p] = first index i with
+    table[i] >= (p << 16), p in [0, 65536].  table is a sorted uint32
+    array (pads at UMAX are fine — they land in the last bucket).
+
+    One-time O(M + 65k) cost; afterwards every searchsorted over `table`
+    needs only ceil(log2(max bucket size)) gather rounds instead of
+    re-sorting the table per query batch (XLA's method="sort" sorts
+    table+queries every call — the round-2 L1 bottleneck)."""
+    M = table.shape[0]
+    if is_jax(xp):
+        bounds = (xp.arange(65536, dtype=xp.uint32) << xp.uint32(16))
+        lut = xp.searchsorted(table, bounds, side="left",
+                              method="sort").astype(xp.int32)
+        lut = xp.concatenate([lut, xp.full((1,), M, xp.int32)])
+    else:
+        bounds = (np.arange(65536, dtype=np.uint64) << np.uint64(16)).astype(np.uint32)
+        lut = np.searchsorted(table, bounds, side="left").astype(np.int32)
+        lut = np.concatenate([lut, np.full(1, M, np.int32)])
+    return lut
+
+
+def lut_rounds(lut_np: np.ndarray) -> int:
+    """Binary-descent rounds needed for buckets of lut (static int)."""
+    mx = int(np.max(np.diff(lut_np.astype(np.int64)))) if len(lut_np) > 1 else 1
+    return max(int(np.ceil(np.log2(max(mx, 1) + 1))), 1)
+
+
+def lut_searchsorted(xp, table, lut, q, rounds: int, side: str = "left"):
+    """searchsorted(table, q, side) via the 2^16-bucket LUT: two LUT
+    gathers + `rounds` binary-descent gather rounds into `table`.
+
+    table (M,) sorted uint32; lut from build_prefix_lut over the SAME
+    array; q any shape uint32; rounds static >= log2(max bucket)."""
+    pre = (q >> xp.uint32(16)).astype(xp.int32)
+    lo = lut[pre]
+    hi = lut[pre + 1]
+    M = table.shape[0]
+    for _ in range(rounds):
+        narrow = lo < hi
+        mid = (lo + hi) >> 1
+        v = table[xp.clip(mid, 0, max(M - 1, 0))]
+        go = (v <= q) if side == "right" else (v < q)
+        lo = xp.where(narrow & go, mid + 1, lo)
+        hi = xp.where(narrow & ~go, mid, hi)
+    return lo
+
+
 def sort_rows(xp, keys, values=(), num_keys=None):
     """Sort each row by lexicographic (keys[0] primary).
 

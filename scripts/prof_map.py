@@ -85,7 +85,8 @@ def main():
         jnp, qh, s, mapper._occ_hash, mapper._occ_sid, mapper._occ_wpos,
         mapper._min_hits, cfg.freq_threshold, cfg.frag_len, cfg.hits_cap,
         cfg.cand_cap, n_occ=mapper._n_occ, wpos_bits=cfg.wpos_bits,
-        occ_packed=mapper._occ_packed))
+        occ_packed=mapper._occ_packed, occ_lut=mapper._occ_lut,
+        occ_rounds=cfg.occ_rounds))
     dt, l1 = t(l1fn, qh, s)
     print(f"B l1_candidates         : {dt*1e3:8.1f} ms  "
           f"(units={int(np.asarray(l1.valid.sum()))}, "
@@ -97,7 +98,8 @@ def main():
         f, mapper._occ_hash, mapper._occ_sid, mapper._occ_wpos,
         mapper._mi_hash, mapper._mi_sid, mapper._mi_wpos, mapper._seq_start,
         mapper._min_hits, mapper._gate, mapper._n_occ, mapper._occ_packed,
-        mapper._mi_packed, mapper._mi_prev, mapper._mi_nxt), fd)
+        mapper._mi_packed, mapper._mi_prev, mapper._mi_nxt,
+        mapper._occ_lut, mapper._mi_lut), fd)
     counts = np.asarray(out["counts"])
     print(f"C map_step              : {dt*1e3:8.1f} ms  "
           f"(valid={counts[0]}, n_units={counts[9]}, max_span={counts[8]}, "

@@ -53,3 +53,24 @@ def np_to_jnp(a):
     import jax.numpy as jnp
 
     return jnp.asarray(a)
+
+
+def test_lut_searchsorted_matches_numpy():
+    import jax.numpy as jnp
+
+    from fastani_tpu.ops import xputils
+
+    rng = np.random.default_rng(3)
+    table = np.sort(rng.integers(0, 2**32, 100_000, dtype=np.uint64)
+                    .astype(np.uint32))
+    q = rng.integers(0, 2**32, (7, 333), dtype=np.uint64).astype(np.uint32)
+    q[0, :10] = table[:10]          # exact hits
+    q[1, 0] = 0
+    q[1, 1] = 0xFFFFFFFF
+    lut = xputils.build_prefix_lut(jnp, jnp.asarray(table))
+    rounds = xputils.lut_rounds(np.asarray(lut))
+    for side in ("left", "right"):
+        got = np.asarray(xputils.lut_searchsorted(
+            jnp, jnp.asarray(table), lut, jnp.asarray(q), rounds, side))
+        want = np.searchsorted(table, q, side=side).astype(np.int32)
+        np.testing.assert_array_equal(got, want)
