@@ -2,9 +2,25 @@
 
 TPU-first fast path for cgi::computeCGI (reference:
 src/cgi/include/computeCoreIdentity.hpp:166-298): the 1-way / 2-way
-reciprocal dedupes run as lexsort + keep-last segment reductions ON DEVICE,
-and only a (Gq, Gr) count/sum pair crosses the (slow) device->host link —
-instead of every mapping row.
+reciprocal dedupes run ON DEVICE and only a (Gq, Gr) count/sum pair
+crosses the (slow) device->host link — instead of every mapping row.
+
+Two implementations:
+
+* ``cgi_matrices`` — one-shot over an accumulated row set (lexsort +
+  keep-last segment reductions); memory grows with total mapping rows.
+  Used by the mesh step and small runs.
+* ``StreamingCGI`` — BOUNDED-memory streaming reduction for large
+  many-to-many runs: each fragment batch folds into a device-resident
+  running-best table keyed by global reference position bin (the 2-way
+  law, computeCoreIdentity.hpp:237-255: best identity per (refContig,
+  refPosBin)), after an exact per-batch 1-way dedupe (valid because a
+  fragment's mapping rows all live in ONE batch).  HBM footprint is
+  O(slots * total_ref_bins + Gq*Gr), independent of run length.  The
+  2-way table stores only the max identity bits per bin — identity
+  tie-breakers beyond the value itself cannot change per-pair counts or
+  sums (tied rows have equal identity), so a single int32 scatter-max
+  suffices.
 
 Identity values come from a host-precomputed float32 LUT over
 (sketch size s, shared count c), so each row's identity is bit-identical
@@ -100,3 +116,171 @@ def cgi_matrices(qno, qsid, sid, shared, sketch, pos, valid,
                      ).at[idx].add(jnp.where(keep2, ident, 0.0))
     return (counts[:-1].reshape(n_query_genomes, n_ref_genomes),
             sums[:-1].reshape(n_query_genomes, n_ref_genomes))
+
+
+# ---------------------------------------------------------------------------
+# Streaming (bounded-memory) CGI
+# ---------------------------------------------------------------------------
+
+def make_bin_tables(metadata_lengths, genome_of_seq, frag_len: int):
+    """Global reference-bin layout: bin id = bin_start[sid] + pos // width
+    with width = frag_len - 20 (computeCoreIdentity.hpp:194).
+
+    Returns (bin_start (S+1,) int64->int32, gid_of_bin (B_tot,) int32)."""
+    width = frag_len - 20
+    lens = np.asarray(metadata_lengths, np.int64)
+    n_bins = lens // width + 1
+    bin_start = np.zeros(len(lens) + 1, np.int64)
+    bin_start[1:] = np.cumsum(n_bins)
+    gid_of_bin = np.repeat(np.asarray(genome_of_seq, np.int32), n_bins)
+    return bin_start.astype(np.int32), gid_of_bin
+
+
+@functools.lru_cache(maxsize=None)
+def _update_jit(frag_len: int, n_slots: int, n_rg: int, frag_cap: int,
+                donate: bool = True):
+    """Per-batch table fold: exact 1-way dedupe + 2-way scatter-max.
+
+    Static dims: fragment capacity (1-way key space), ref-genome count,
+    slot count.  The bin table is donated so the fold is in-place in HBM.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def f(tab, qno, qsid, sid, shared, sketch, pos, n_valid, excl_frag,
+          frag, genome_of_seq, bin_start, ident_lut):
+        U = sid.shape[0]
+        valid = (jnp.arange(U, dtype=jnp.int32) < n_valid) \
+            & ~excl_frag[jnp.clip(frag, 0, excl_frag.shape[0] - 1)]
+        ident = ident_lut[jnp.clip(sketch, 0, ident_lut.shape[0] - 1),
+                          jnp.clip(shared, 0, ident_lut.shape[1] - 1)]
+        ibits = jnp.where(valid, ident, jnp.float32(0)).view(jnp.int32)
+        ibits = jnp.where(valid, ibits, -1)
+        gid = genome_of_seq[jnp.clip(sid, 0, genome_of_seq.shape[0] - 1)]
+
+        # exact 1-way: best (ident, sid, pos) per (refGenome, fragment) —
+        # the overwrite law of computeCoreIdentity.hpp:212-232 with
+        # cmp_query_bucket tie-breakers (cgid_types.hpp:31-39); three
+        # scatter-max passes resolve the lexicographic key
+        idx1 = jnp.where(valid, gid * frag_cap + frag, n_rg * frag_cap)
+        T1 = n_rg * frag_cap + 1
+        t_i = jnp.full(T1, -1, jnp.int32).at[idx1].max(ibits)
+        w1 = valid & (ibits == t_i[idx1])
+        t_s = jnp.full(T1, -1, jnp.int32).at[idx1].max(
+            jnp.where(w1, sid, -1))
+        w2 = w1 & (sid == t_s[idx1])
+        t_p = jnp.full(T1, -1, jnp.int32).at[idx1].max(
+            jnp.where(w2, pos, -1))
+        keep1 = w2 & (pos == t_p[idx1])
+
+        # 2-way fold: running max identity per (slot, global ref bin)
+        B_tot = tab.shape[1]
+        bin_id = bin_start[jnp.clip(sid, 0, bin_start.shape[0] - 2)] \
+            + pos // (frag_len - 20)
+        slot = jnp.where(keep1, (qno % n_slots), 0)
+        idx2 = jnp.where(keep1, slot * B_tot + bin_id, n_slots * B_tot)
+        tab = tab.reshape(-1).at[jnp.minimum(idx2, n_slots * B_tot - 1)].max(
+            jnp.where(keep1, ibits, -1)).reshape(n_slots, B_tot)
+        return tab
+
+    return jax.jit(f, donate_argnums=(0,) if donate else ())
+
+
+@functools.lru_cache(maxsize=None)
+def _finalize_jit(n_slots: int, n_qg: int, n_rg: int, donate: bool = True):
+    """Reduce one slot of the bin table into the (Gq, Gr) accumulators and
+    clear it."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(tab, acc_counts, acc_sums, qno, gid_of_bin):
+        slot = qno % n_slots
+        row = jax.lax.dynamic_slice_in_dim(tab, slot, 1, 0)[0]
+        occupied = row >= 0
+        ident = jnp.where(occupied, row.view(jnp.float32), 0.0)
+        seg = jnp.where(occupied, gid_of_bin, n_rg)
+        cnt = jax.ops.segment_sum(occupied.astype(jnp.int32), seg,
+                                  num_segments=n_rg + 1)[:n_rg]
+        sm = jax.ops.segment_sum(ident, seg, num_segments=n_rg + 1)[:n_rg]
+        acc_counts = jax.lax.dynamic_update_slice_in_dim(
+            acc_counts, (acc_counts[qno] + cnt)[None, :], qno, 0)
+        acc_sums = jax.lax.dynamic_update_slice_in_dim(
+            acc_sums, (acc_sums[qno] + sm)[None, :], qno, 0)
+        tab = jax.lax.dynamic_update_slice_in_dim(
+            tab, jnp.full((1, tab.shape[1]), -1, jnp.int32), slot, 0)
+        return tab, acc_counts, acc_sums
+
+    return jax.jit(f, donate_argnums=(0, 1, 2) if donate else ())
+
+
+class StreamingCGI:
+    """Bounded-memory device CGI accumulator for many-to-many runs.
+
+    Usage (driver: models/pipeline.map_queries_cgi_device):
+      * ``update(packed, n_valid, excl_frag)`` folds one mapping batch;
+      * ``inject(rows)`` folds host-fallback rows (overflowed fragments);
+      * ``finalize_query(qno)`` closes a query genome once its last batch
+        has been folded (slots recycle modulo n_slots, so a qno must be
+        finalized before qno + n_slots first updates);
+      * ``result()`` fetches the final (counts, sums) matrices.
+    """
+
+    def __init__(self, index, params, n_query_genomes: int,
+                 n_ref_genomes: int, n_slots: int, frag_cap: int,
+                 donate: bool = True):
+        import jax.numpy as jnp
+
+        self.frag_len = params.frag_len
+        self.n_qg = n_query_genomes
+        self.n_rg = n_ref_genomes
+        self.n_slots = max(int(n_slots), 1)
+        self.frag_cap = int(frag_cap)
+        self.donate = donate
+        bin_start, gid_of_bin = make_bin_tables(
+            [c.length for c in index.metadata], index.genome_of_seq(),
+            params.frag_len)
+        self.B_tot = int(len(gid_of_bin))
+        self._bin_start = jnp.asarray(bin_start)
+        self._gid_of_bin = jnp.asarray(gid_of_bin)
+        self._gos = jnp.asarray(index.genome_of_seq())
+        s_max = max(params.sketch_cap, 1)
+        self._lut = jnp.asarray(identity_lut_full(params.kmer_size, s_max))
+        self._tab = jnp.full((self.n_slots, self.B_tot), -1, jnp.int32)
+        self._counts = jnp.zeros((self.n_qg, self.n_rg), jnp.int32)
+        self._sums = jnp.zeros((self.n_qg, self.n_rg), jnp.float32)
+
+    def update(self, packed, n_valid, excl_frag) -> None:
+        """Fold one batch's packed (7, U) device block.  ``n_valid`` may be
+        a device scalar; ``excl_frag`` is a (F,) bool mask of fragments
+        whose rows must be ignored (host fallback re-injects them)."""
+        import jax.numpy as jnp
+
+        fn = _update_jit(self.frag_len, self.n_slots, self.n_rg,
+                         self.frag_cap, self.donate)
+        frag, qno, qsid, sid, shared, sketch, pos = (packed[i]
+                                                     for i in range(7))
+        self._tab = fn(self._tab, qno, qsid, sid, shared, sketch, pos,
+                       jnp.asarray(n_valid, jnp.int32),
+                       jnp.asarray(excl_frag, bool), frag, self._gos,
+                       self._bin_start, self._lut)
+
+    def inject(self, rows: np.ndarray) -> None:
+        """Fold host-fallback mapping rows ((7, n) int32 host array, same
+        row layout as packed).  The 1-way key space uses the `frag` row,
+        which the caller assigns uniquely per fragment within one call."""
+        import jax.numpy as jnp
+
+        n = rows.shape[1]
+        cap = max(128, 1 << max(n - 1, 1).bit_length())
+        buf = np.zeros((7, cap), np.int32)
+        buf[:, :n] = rows
+        self.update(jnp.asarray(buf), n, np.zeros(self.frag_cap, bool))
+
+    def finalize_query(self, qno: int) -> None:
+        fn = _finalize_jit(self.n_slots, self.n_qg, self.n_rg, self.donate)
+        self._tab, self._counts, self._sums = fn(
+            self._tab, self._counts, self._sums, np.int32(qno),
+            self._gid_of_bin)
+
+    def result(self):
+        return np.asarray(self._counts), np.asarray(self._sums)

@@ -237,7 +237,7 @@ def map_queries_cgi_device(queries: List[QueryFragments], index: ReferenceIndex,
     addition order may differ from the host fold; byte-parity consumers
     use map_queries_batched + ani.compute_cgi_arrays instead.
     """
-    import jax.numpy as jnp
+    import jax
 
     from fastani_tpu.models import device_cgi
     from fastani_tpu.utils import refmodel
@@ -253,82 +253,67 @@ def map_queries_cgi_device(queries: List[QueryFragments], index: ReferenceIndex,
         if queries else np.zeros(0, np.int32)
     F = len(all_frags)
     starts = list(range(0, F, B))
-
-    blocks: List = []          # (7, U_cap) device blocks, valid-first
-    n_valids: List[int] = []
-    fb_cols = {k: [] for k in ("qno", "qsid", "sid", "shared", "sketch",
-                               "pos")}
-    hindex = None
-
-    def handle_result(b0, packed, n_valid, fb):
-        blocks.append(packed)
-        n_valids.append(n_valid)
-        nonlocal hindex
-        for f in fb:
-            if hindex is None:
-                hindex = index.host_view()
-            row = b0 + int(f)
-            ms = refmodel.map_fragment(all_frags[row], hindex, params,
-                                       int(gid_of_row[row]))
-            for m in ms:
-                fb_cols["qno"].append(qno_of_row[row])
-                fb_cols["qsid"].append(m.query_seq_id)
-                fb_cols["sid"].append(m.ref_seq_id)
-                fb_cols["shared"].append(m.conserved)
-                fb_cols["sketch"].append(m.sketch_size)
-                fb_cols["pos"].append(m.ref_start_pos)
-
-    inflight = []
-    for b0 in starts:
-        sl = slice(b0, b0 + B)
-        inflight.append((b0, jit_mapper.dispatch(
-            all_frags[sl], qno_of_row[sl], gid_of_row[sl])))
-        if len(inflight) >= 2:
-            p0, h = inflight.pop(0)
-            handle_result(p0, *jit_mapper.collect_device(h))
-    for p0, h in inflight:
-        handle_result(p0, *jit_mapper.collect_device(h))
-
-    # assemble the device row set: concat blocks + host fallback rows,
-    # pow2-bucketed so the CGI program compiles once per size class
-    cols = []
-    valids = []
-    for blk, n in zip(blocks, n_valids):
-        cols.append(blk)
-        U = blk.shape[1]
-        v = np.zeros(U, bool)
-        v[:n] = True
-        valids.append(v)
-    n_fb = len(fb_cols["qno"])
-    if n_fb:
-        fb_blk = np.zeros((7, n_fb), np.int32)
-        fb_blk[1] = fb_cols["qno"]
-        fb_blk[2] = fb_cols["qsid"]
-        fb_blk[3] = fb_cols["sid"]
-        fb_blk[4] = fb_cols["shared"]
-        fb_blk[5] = fb_cols["sketch"]
-        fb_blk[6] = fb_cols["pos"]
-        cols.append(jnp.asarray(fb_blk))
-        valids.append(np.ones(n_fb, bool))
-    if not cols:
+    if not F:
         return (np.zeros((n_query_genomes, n_ref_genomes), np.int32),
                 np.zeros((n_query_genomes, n_ref_genomes), np.float32))
-    rows = jnp.concatenate(cols, axis=1)
-    valid = np.concatenate(valids)
-    N = rows.shape[1]
-    Np = max(128, 1 << (N - 1).bit_length())
-    if Np > N:
-        rows = jnp.concatenate(
-            [rows, jnp.zeros((7, Np - N), jnp.int32)], axis=1)
-        valid = np.concatenate([valid, np.zeros(Np - N, bool)])
 
-    s_max = max(params.sketch_cap, 1)
-    lut = jnp.asarray(device_cgi.identity_lut_full(params.kmer_size, s_max))
-    counts, sums = _cgi_matrices_jit(
-        rows[1], rows[2], rows[3], rows[4], rows[5], rows[6],
-        jnp.asarray(valid), jnp.asarray(index.genome_of_seq()), lut,
-        params.frag_len, n_query_genomes, n_ref_genomes)
-    return np.asarray(counts), np.asarray(sums)
+    # streaming accumulator: slots recycle, so size the slot ring to the
+    # max distinct query genomes any single batch touches
+    n_slots = 1
+    for b0 in starts:
+        b1 = min(b0 + B, F) - 1
+        n_slots = max(n_slots, int(qno_of_row[b1]) - int(qno_of_row[b0]) + 1)
+    cgi = device_cgi.StreamingCGI(
+        index, params, n_query_genomes, n_ref_genomes, n_slots,
+        frag_cap=B, donate=jax.default_backend() == "tpu")
+
+    hindex = None
+    next_fin = 0  # first not-yet-finalized query genome
+
+    def handle_result(bi, b0, packed, n_valid, fb):
+        nonlocal hindex, next_fin
+        excl = np.zeros(B, bool)
+        if len(fb):
+            excl[fb] = True
+        cgi.update(packed, n_valid, excl)
+        if len(fb):
+            # host fallback rows for overflowed fragments, injected as one
+            # 1-way group (local fragment ids keep per-fragment dedupe)
+            if hindex is None:
+                hindex = index.host_view()
+            cols = []
+            for li, f in enumerate(fb):
+                row = b0 + int(f)
+                for m in refmodel.map_fragment(all_frags[row], hindex,
+                                               params,
+                                               int(gid_of_row[row])):
+                    cols.append((li, qno_of_row[row], m.query_seq_id,
+                                 m.ref_seq_id, m.conserved, m.sketch_size,
+                                 m.ref_start_pos))
+            if cols:
+                cgi.inject(np.asarray(cols, np.int32).T)
+        # close every query genome whose fragments all precede the next
+        # batch (slots recycle modulo n_slots)
+        nb = b0 + B
+        fin_to = (int(qno_of_row[nb]) if nb < F else n_query_genomes)
+        while next_fin < fin_to:
+            cgi.finalize_query(next_fin)
+            next_fin += 1
+
+    inflight = []
+    for bi, b0 in enumerate(starts):
+        sl = slice(b0, b0 + B)
+        inflight.append((bi, b0, jit_mapper.dispatch(
+            all_frags[sl], qno_of_row[sl], gid_of_row[sl])))
+        if len(inflight) >= 2:
+            i0, p0, h = inflight.pop(0)
+            handle_result(i0, p0, *jit_mapper.collect_device(h))
+    for i0, p0, h in inflight:
+        handle_result(i0, p0, *jit_mapper.collect_device(h))
+    while next_fin < n_query_genomes:
+        cgi.finalize_query(next_fin)
+        next_fin += 1
+    return cgi.result()
 
 
 @functools.lru_cache(maxsize=None)

@@ -106,3 +106,81 @@ def test_map_queries_cgi_device_matches_host(tmp_path):
             else:
                 assert counts[q, g] == 0, (q, g)
     assert counts.sum() > 0
+
+
+def test_streaming_cgi_matches_oneshot():
+    """StreamingCGI (batched folds + fallback injection) vs cgi_matrices
+    over the same row set."""
+    import dataclasses
+
+    from fastani_tpu.config import Parameters
+
+    rng = np.random.default_rng(21)
+    n_qg, n_rg, frag_len = 4, 2, 3000
+    lengths = [50_000, 30_000, 20_000, 10_000]
+    genome_of_seq = np.array([0, 0, 1, 1], np.int32)
+
+    @dataclasses.dataclass
+    class _Ix:
+        metadata: list
+
+        def genome_of_seq(self):
+            return genome_of_seq
+
+    @dataclasses.dataclass
+    class _C:
+        length: int
+
+    params = Parameters(frag_batch=8).finalize()
+    index = _Ix([_C(l) for l in lengths])
+
+    # fragment-grouped rows: fragments are (qno, qsid) pairs in order
+    frags = [(q, f) for q in range(n_qg) for f in range(rng.integers(2, 6))]
+    rows = []          # (qno, qsid, sid, shared, sketch, pos) per mapping
+    for (q, f) in frags:
+        for _ in range(int(rng.integers(1, 5))):
+            sid = int(rng.integers(0, len(lengths)))
+            sketch = int(rng.integers(100, 300))
+            shared = int(sketch * rng.uniform(0.3, 1.0))
+            pos = int(rng.integers(0, lengths[sid] - 1))
+            rows.append((q, f, sid, shared, sketch, pos))
+    rows = np.asarray(rows, np.int32)
+
+    # one-shot oracle
+    lut = device_cgi.identity_lut_full(16, params.sketch_cap)
+    want_c, want_s = map(np.asarray, device_cgi.cgi_matrices(
+        *(jnp.asarray(rows[:, i]) for i in (0, 1, 2, 3, 4, 5)),
+        jnp.ones(len(rows), bool), jnp.asarray(genome_of_seq),
+        jnp.asarray(lut), frag_len, n_qg, n_rg))
+
+    # streaming: batches of B fragments, fragment-aligned
+    B = 8
+    cgi = device_cgi.StreamingCGI(index, params, n_qg, n_rg, n_slots=n_qg,
+                                  frag_cap=B, donate=False)
+    U = 64
+    next_fin = 0
+    for b0 in range(0, len(frags), B):
+        batch_frags = frags[b0:b0 + B]
+        packed = np.zeros((7, U), np.int32)
+        n = 0
+        inject_rows = []
+        excl = np.zeros(B, bool)
+        excl[1 % len(batch_frags)] = True     # exercise the fallback path
+        for li, (q, f) in enumerate(batch_frags):
+            sel = (rows[:, 0] == q) & (rows[:, 1] == f)
+            for r in rows[sel]:
+                if excl[li]:
+                    inject_rows.append((li, r[0], r[1], r[2], r[3], r[4], r[5]))
+                else:
+                    packed[:, n] = (li, r[0], r[1], r[2], r[3], r[4], r[5])
+                    n += 1
+        cgi.update(jnp.asarray(packed), n, excl)
+        if inject_rows:
+            cgi.inject(np.asarray(inject_rows, np.int32).T)
+        nxt = frags[b0 + B][0] if b0 + B < len(frags) else n_qg
+        while next_fin < nxt:
+            cgi.finalize_query(next_fin)
+            next_fin += 1
+    got_c, got_s = cgi.result()
+    np.testing.assert_array_equal(got_c, want_c)
+    np.testing.assert_allclose(got_s, want_s, rtol=2e-6, atol=1e-4)
