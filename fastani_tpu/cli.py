@@ -165,12 +165,6 @@ def main(argv=None) -> int:
     print(">>>>>>>>>>>>>>>>>>", file=sys.stderr)
 
     if args.mesh or args.coordinator:
-        if args.visualize:
-            print("WARNING, fastani_tpu, --visualize is not supported in "
-                  "mesh mode; falling back to the single-device path",
-                  file=sys.stderr)
-            pipeline.run(params, backend=args.backend)
-            return 0
         from fastani_tpu.parallel import runner
 
         n_r = n_q = None
@@ -180,7 +174,8 @@ def main(argv=None) -> int:
             params, n_r, n_q,
             coordinator=args.coordinator or None,
             num_processes=args.nprocs or None,
-            process_id=args.procid if args.procid >= 0 else None)
+            process_id=args.procid if args.procid >= 0 else None,
+            backend=args.backend)
         return 0
 
     pipeline.run(params, backend=args.backend)

@@ -38,6 +38,12 @@ def read_sequences(path: str) -> Iterator[Tuple[str, np.ndarray]]:
     Dispatches to the native C++ reader when available; falls back to the
     pure-Python parser below.
     """
+    import os
+
+    trace = os.environ.get("FASTANI_TRACE_READS")
+    if trace:  # test hook: record which genome files this process parses
+        with open(trace, "a") as tf:
+            tf.write(path + "\n")
     from fastani_tpu import native
 
     lib = native.load_io_lib()

@@ -97,7 +97,8 @@ class MapperConfig:
 def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
              mi_hash, mi_sid, mi_wpos, seq_start, min_hits_lut, gate_lut,
              n_occ=None, occ_packed=None, mi_packed=None,
-             mi_prev=None, mi_nxt=None, occ_lut=None, mi_lut=None):
+             mi_prev=None, mi_nxt=None, occ_lut=None, mi_lut=None,
+             freq_threshold=None):
     """One fragment batch against one index shard.  Pure function of arrays.
 
     Index arrays may be padded (pow-2 bucketed for compile reuse); n_occ is
@@ -110,8 +111,11 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
     k, w, l = cfg.kmer_size, cfg.window_size, cfg.frag_len
 
     qh, s, sk_over = mapping.sketch_fragments(xp, frags, k, w, cfg.sketch_cap)
+    # freq_threshold may be a traced per-shard scalar (the reference
+    # computes the histogram threshold per sketch split, winSketch.hpp:199-248)
+    ft = cfg.freq_threshold if freq_threshold is None else freq_threshold
     l1 = mapping.l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos,
-                               min_hits_lut, cfg.freq_threshold, l,
+                               min_hits_lut, ft, l,
                                cfg.hits_cap, cfg.cand_cap, n_occ=n_occ,
                                wpos_bits=cfg.wpos_bits, occ_packed=occ_packed,
                                occ_lut=occ_lut, occ_rounds=cfg.occ_rounds)

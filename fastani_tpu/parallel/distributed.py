@@ -139,32 +139,78 @@ def plan(ref_files: Sequence[str], n_r: Optional[int] = None,
         ref_shards=local_ref_shards(ref_files, n_r, my_rows))
 
 
+def allgather_shard_dims(local_dims: dict) -> dict:
+    """Merge per-process shard padding dims (parallel.mesh.local_shard_dims)
+    into the global maxima every process must pad to.  Single-process:
+    identity."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return local_dims
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    keys = ("M", "S", "G", "max_contig_len", "n_seqs_total")
+    vec = np.asarray([int(local_dims[k]) for k in keys], np.int64)
+    allv = multihost_utils.process_allgather(vec)       # (n_proc, k)
+    out = {k: int(allv[:, i].max()) for i, k in enumerate(keys)}
+    # n_seqs_total is a SUM across processes (disjoint shard ownership)
+    out["n_seqs_total"] = int(allv[:, keys.index("n_seqs_total")].sum())
+    cpf = np.asarray(local_dims["contigs_per_file"], np.int64)
+    out["contigs_per_file"] = np.asarray(
+        multihost_utils.process_allgather(cpf)).max(axis=0)
+    return out
+
+
+def _place(plan: MultiHostPlan, arr, spec) -> "jax.Array":
+    """Place a host (n_r, ...) array onto the mesh with `spec`; in
+    multi-process runs only the rows owned by this process's devices are
+    read (unowned rows hold fill values)."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    sh = NamedSharding(plan.mesh, spec)
+    if jax.process_count() <= 1:
+        return jax.device_put(arr, sh)
+    idx_map = sh.addressable_devices_indices_map(arr.shape)
+    bufs = [jax.device_put(arr[idx], d) for d, idx in idx_map.items()]
+    return jax.make_array_from_single_device_arrays(arr.shape, sh, bufs)
+
+
 def shard_index_arrays(plan: MultiHostPlan, sharded_index) -> dict:
     """Place a ShardedIndex's stacked arrays onto the mesh as global arrays.
 
     Each (n_r, M) array becomes a jax.Array sharded P("r", None): device
-    row r holds shard r only.  For multi-process runs the host only
-    materializes the rows it owns (build with
-    parallel.mesh.build_sharded_index over plan.ref_shards rows, padded to
-    the global max) and global arrays assemble from single-device buffers.
+    row r holds shard r only.  Multi-process: each process materializes
+    only the rows it owns (mesh.build_sharded_index over plan.my_r_rows,
+    padded to the allgathered global dims); global arrays assemble from
+    single-device buffers without replicating the build.
     """
-    import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     out = {}
-    sh = NamedSharding(plan.mesh, P("r", None))
-    sh1 = NamedSharding(plan.mesh, P("r"))
+    row2 = P("r", None)
+    row1 = P("r")
     for name in ("occ_hash", "occ_sid", "occ_wpos", "mi_hash", "mi_sid",
-                 "mi_wpos", "seq_start", "genome_of_seq"):
+                 "mi_wpos", "seq_start", "genome_of_seq", "occ_packed",
+                 "mi_packed", "occ_lut", "mi_lut", "mi_prev", "mi_nxt"):
         a = getattr(sharded_index, name)
-        out[name] = jax.device_put(a, sh)
+        if a is not None:
+            out[name] = _place(plan, a, row2)
     for name in ("n_occ", "n_genomes"):
-        out[name] = jax.device_put(getattr(sharded_index, name), sh1)
+        out[name] = _place(plan, getattr(sharded_index, name), row1)
+    ft = sharded_index.freq_thresholds
+    if ft is None:
+        import numpy as np
+
+        ft = np.full(sharded_index.n_r, sharded_index.freq_threshold,
+                     np.int32)
+    out["freq_threshold"] = _place(plan, ft, row1)
     return out
 
 
-def gather_rows(gid_rows, ib_rows, n_rows) -> tuple:
-    """Fetch the (n_r, cap) survivor-row arrays + (n_r,) counts to every
+def gather_rows(*arrays) -> tuple:
+    """Fetch the (n_r, ...) survivor-row arrays + (n_r,) counts to every
     host (the rows step's exact-fold inputs)."""
     import jax
 
@@ -174,8 +220,8 @@ def gather_rows(gid_rows, ib_rows, n_rows) -> tuple:
         # tiled=True: the inputs are GLOBAL arrays sharded over the mesh's
         # r axis; tiled gathering reassembles the full (n_r, ...) array
         return tuple(multihost_utils.process_allgather(a, tiled=True)
-                     for a in (gid_rows, ib_rows, n_rows))
-    return (np.asarray(gid_rows), np.asarray(ib_rows), np.asarray(n_rows))
+                     for a in arrays)
+    return tuple(np.asarray(a) for a in arrays)
 
 
 def gather_tallies(sum_ident, count) -> tuple:

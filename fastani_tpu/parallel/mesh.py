@@ -60,9 +60,18 @@ def point_identity_lut(s_max: int, k: int) -> np.ndarray:
     return out
 
 
+_PINF = np.int32(2**30)
+
+
 @dataclasses.dataclass
 class ShardedIndex:
-    """Round-robin reference shards stacked into equal-size device arrays."""
+    """Round-robin reference shards stacked into equal-size device arrays.
+
+    Rows not in ``owned_rows`` hold fill values only (multi-host builds
+    sketch exclusively the shards their devices own — the reference's
+    per-split build, winSketch.hpp:109-115 under core_genome_identity.cpp:65;
+    placement via distributed.shard_index_arrays never reads them).
+    """
     n_r: int
     occ_hash: np.ndarray   # (n_r, M) uint32
     occ_sid: np.ndarray    # (n_r, M) int32
@@ -71,59 +80,233 @@ class ShardedIndex:
     mi_sid: np.ndarray
     mi_wpos: np.ndarray
     seq_start: np.ndarray  # (n_r, S+1) int64
-    genome_of_seq: np.ndarray  # (n_r, S) int32 — local seqid -> local genome no
+    genome_of_seq: np.ndarray  # (n_r, S) int32 - local seqid -> local genome no
     n_genomes: np.ndarray      # (n_r,) genomes per shard
     n_occ: np.ndarray          # (n_r,) true (unpadded) entry count per shard
-    freq_threshold: int
+    freq_threshold: int        # min over shards (back-compat; prefer per-shard)
     max_local_genomes: int
     # map (shard, local genome) -> global genome id: global = local * n_r + shard
     # (correctRefGenomeIds law, computeCoreIdentity.hpp:480-487)
 
+    # ---- fast-path arrays (packed keys, probe LUTs, occurrence links) ----
+    occ_packed: "Optional[np.ndarray]" = None   # (n_r, M) uint32
+    mi_packed: "Optional[np.ndarray]" = None
+    occ_lut: "Optional[np.ndarray]" = None      # (n_r, 65537) int32
+    mi_lut: "Optional[np.ndarray]" = None
+    mi_prev: "Optional[np.ndarray]" = None      # (n_r, M) int32
+    mi_nxt: "Optional[np.ndarray]" = None
+    wpos_bits: "Optional[int]" = None
+    occ_rounds: int = 0
+    mi_rounds: int = 0
+    # per-shard histogram threshold (winSketch.hpp:199-248 is per split)
+    freq_thresholds: "Optional[np.ndarray]" = None    # (n_r,) int32
+    # per-shard sanity-check inputs (winSketch.hpp:298-318)
+    total_lengths: "Optional[np.ndarray]" = None      # (n_r,) int64
+    n_uniques: "Optional[np.ndarray]" = None          # (n_r,) int64
+    # local seqid -> GLOBAL seqid (the unsharded index numbering), for
+    # emitting .visual rows identical to the single-device run
+    global_sid: "Optional[np.ndarray]" = None         # (n_r, S) int32
+    owned_rows: "Optional[List[int]]" = None
 
-def build_sharded_index(params, ref_files: Sequence[str], n_r: int) -> ShardedIndex:
+
+def _prev_next_np(mi_hash, mi_sid):
+    """Host mirror of l2walk.prev_next_global over unpadded arrays."""
+    order = np.argsort(mi_hash, kind="stable").astype(np.int32)
+    oh, os_ = mi_hash[order], mi_sid[order]
+    same = (oh[1:] == oh[:-1]) & (os_[1:] == os_[:-1])
+    prev_occ = np.concatenate([[-1], np.where(same, order[:-1], -1)]).astype(np.int32)
+    nxt_occ = np.concatenate([np.where(same, order[1:], _PINF),
+                              [_PINF]]).astype(np.int32)
+    prev_g = np.zeros(len(mi_hash), np.int32)
+    nxt_g = np.zeros(len(mi_hash), np.int32)
+    prev_g[order] = prev_occ
+    nxt_g[order] = nxt_occ
+    return prev_g, nxt_g
+
+
+def shard_files(ref_files: Sequence[str], n_r: int, r: int) -> List[str]:
+    """splitReferenceGenomes law: file j belongs to shard j % n_r
+    (computeCoreIdentity.hpp:457-474)."""
+    return [f for j, f in enumerate(ref_files) if j % n_r == r]
+
+
+def local_shard_dims(shards: dict, ref_files: Sequence[str], n_r: int) -> dict:
+    """Padding dims derivable from locally built shards (single-process
+    case; multi-process merges these via distributed.allgather_shard_dims)."""
+    M = max((ix.num_entries for ix in shards.values()), default=1)
+    S = max((len(ix.metadata) for ix in shards.values()), default=1)
+    nG = max(max(len(shard_files(ref_files, n_r, r)), 1) for r in range(n_r))
+    max_len = max((c.length for ix in shards.values()
+                   for c in ix.metadata), default=1)
+    n_seqs_total = sum(len(ix.metadata) for ix in shards.values())
+    counts = np.zeros(max(len(ref_files), 1), np.int64)
+    # per-file contig counts from sequences_by_file of each owned shard
+    for r, ix in shards.items():
+        files = [j for j in range(len(ref_files)) if j % n_r == r]
+        prev = 0
+        for li, j in enumerate(files[: len(ix.sequences_by_file)]):
+            counts[j] = int(ix.sequences_by_file[li]) - prev
+            prev = int(ix.sequences_by_file[li])
+    return dict(M=max(M, 1), S=max(S, 1), G=nG, max_contig_len=max_len,
+                n_seqs_total=n_seqs_total, contigs_per_file=counts)
+
+
+def build_shards(params, ref_files: Sequence[str], n_r: int,
+                 rows: "Optional[Sequence[int]]" = None,
+                 device: bool = False,
+                 save_prefix: str = "", load_prefix: str = "") -> dict:
+    """Build (or restore) the per-shard ReferenceIndex objects for the
+    shards in ``rows`` (default: all).
+
+    device=True winnows each shard on the accelerator
+    (ReferenceIndex.build_device) and pulls the finished arrays back for
+    stacking/placement.  save_prefix/load_prefix persist each shard as
+    ``{prefix}.r{r}of{n_r}.npz``.
+    """
+    import copy
+
     from fastani_tpu.index.sketch import ReferenceIndex
 
-    shards = []
-    for r in range(n_r):
-        files = [f for j, f in enumerate(ref_files) if j % n_r == r]
-        shards.append(ReferenceIndex.build(params, files or ref_files[:0]))
-    M = max(ix.num_entries for ix in shards)
-    S = max(len(ix.metadata) for ix in shards)
-    nG = max(max(len([f for j, f in enumerate(ref_files) if j % n_r == r]), 1)
-             for r in range(n_r))
+    rows = list(range(n_r)) if rows is None else list(rows)
+    shards = {}
+    for r in rows:
+        files = shard_files(ref_files, n_r, r)
+        if load_prefix:
+            p = copy.copy(params)
+            ix = ReferenceIndex.load(f"{load_prefix}.r{r}of{n_r}.npz", p)
+        else:
+            build = ReferenceIndex.build_device if device \
+                else ReferenceIndex.build
+            ix = build(params, files or ref_files[:0])
+            if device:
+                ix = ix.host_view()
+        if save_prefix:
+            ix.save(f"{save_prefix}.r{r}of{n_r}.npz")
+        shards[r] = ix
+    return shards
 
-    def padded(att, fill, dtype, width):
-        out = np.full((n_r, width), fill, dtype)
-        for r, ix in enumerate(shards):
-            a = getattr(ix, att)
-            out[r, : len(a)] = a
-        return out
 
-    seq_start = np.zeros((n_r, S + 1), np.int64)
-    gos = np.zeros((n_r, S), np.int32)
-    n_gen = np.zeros(n_r, np.int32)
-    for r, ix in enumerate(shards):
-        ss = ix.seq_start
-        seq_start[r, : len(ss)] = ss
-        seq_start[r, len(ss):] = ss[-1] if len(ss) else 0
-        g = ix.genome_of_seq()
-        gos[r, : len(g)] = g
-        n_gen[r] = len(ix.sequences_by_file)
-    return ShardedIndex(
+def build_sharded_index(params, ref_files: Sequence[str], n_r: int,
+                        rows: "Optional[Sequence[int]]" = None,
+                        device: bool = False,
+                        save_prefix: str = "", load_prefix: str = "",
+                        shards: "Optional[dict]" = None,
+                        dims: "Optional[dict]" = None) -> ShardedIndex:
+    """Stack per-shard indexes into device-placeable (n_r, ...) arrays.
+
+    ``shards``/``dims`` let multi-host callers build their own rows first
+    (build_shards), agree on global padding widths
+    (distributed.allgather_shard_dims over local_shard_dims), then stack —
+    so no process ever sketches or materializes another host's shards.
+    """
+    from fastani_tpu.ops import xputils
+
+    rows = list(range(n_r)) if rows is None else list(rows)
+    if shards is None:
+        shards = build_shards(params, ref_files, n_r, rows, device,
+                              save_prefix, load_prefix)
+    if dims is None:
+        dims = local_shard_dims(shards, ref_files, n_r)
+    M, S = int(dims["M"]), int(dims["S"])
+    nG = int(dims["G"])
+    max_len = int(dims["max_contig_len"])
+    n_seqs_total = int(dims["n_seqs_total"])
+
+    # packed-key width: identical law to MapperConfig.from_params so the
+    # sharded step runs the same fast path as the single-device mapper
+    bits = max(int(max_len + 2 * params.frag_len).bit_length(), 1)
+    wpos_bits = bits if n_seqs_total and \
+        ((n_seqs_total - 1) << bits) + ((1 << bits) - 1) < 0xFFFFFFFF else None
+
+    def alloc(fill, dtype, width):
+        return np.full((n_r, width), fill, dtype)
+
+    out = ShardedIndex(
         n_r=n_r,
-        occ_hash=padded("occ_hash", 0xFFFFFFFF, np.uint32, M),
-        occ_sid=padded("occ_seqid", np.iinfo(np.int32).max, np.int32, M),
-        occ_wpos=padded("occ_wpos", np.iinfo(np.int32).max, np.int32, M),
-        mi_hash=padded("mi_hash", 0xFFFFFFFF, np.uint32, M),
-        mi_sid=padded("mi_seqid", np.iinfo(np.int32).max, np.int32, M),
-        mi_wpos=padded("mi_wpos", np.iinfo(np.int32).max, np.int32, M),
-        seq_start=seq_start,
-        genome_of_seq=gos,
-        n_genomes=n_gen,
-        n_occ=np.asarray([ix.num_entries for ix in shards], np.int32),
-        freq_threshold=min(ix.freq_threshold for ix in shards),
+        occ_hash=alloc(0xFFFFFFFF, np.uint32, M),
+        occ_sid=alloc(_PINF, np.int32, M),
+        occ_wpos=alloc(_PINF, np.int32, M),
+        mi_hash=alloc(0xFFFFFFFF, np.uint32, M),
+        mi_sid=alloc(_PINF, np.int32, M),
+        mi_wpos=alloc(_PINF, np.int32, M),
+        seq_start=np.zeros((n_r, S + 1), np.int64),
+        genome_of_seq=np.zeros((n_r, S), np.int32),
+        n_genomes=np.zeros(n_r, np.int32),
+        n_occ=np.zeros(n_r, np.int32),
+        freq_threshold=np.iinfo(np.int32).max,
         max_local_genomes=nG,
+        occ_packed=alloc(0xFFFFFFFF, np.uint32, M),
+        mi_packed=alloc(0xFFFFFFFF, np.uint32, M),
+        occ_lut=np.zeros((n_r, 65537), np.int32),
+        mi_lut=np.zeros((n_r, 65537), np.int32),
+        mi_prev=alloc(-1, np.int32, M),
+        mi_nxt=alloc(_PINF, np.int32, M),
+        wpos_bits=wpos_bits,
+        freq_thresholds=np.full(n_r, np.iinfo(np.int32).max, np.int32),
+        total_lengths=np.zeros(n_r, np.int64),
+        n_uniques=np.zeros(n_r, np.int64),
+        global_sid=np.zeros((n_r, S), np.int32),
+        owned_rows=rows,
     )
+
+    occ_r = mi_r = 0
+    for r, ix in shards.items():
+        M_r = ix.num_entries
+        out.n_occ[r] = M_r
+        out.occ_hash[r, :M_r] = ix.occ_hash
+        out.occ_sid[r, :M_r] = ix.occ_seqid
+        out.occ_wpos[r, :M_r] = ix.occ_wpos
+        out.mi_hash[r, :M_r] = ix.mi_hash
+        out.mi_sid[r, :M_r] = ix.mi_seqid
+        out.mi_wpos[r, :M_r] = ix.mi_wpos
+        ss = ix.seq_start
+        out.seq_start[r, : len(ss)] = ss
+        out.seq_start[r, len(ss):] = ss[-1] if len(ss) else 0
+        g = ix.genome_of_seq()
+        out.genome_of_seq[r, : len(g)] = g
+        out.n_genomes[r] = len(ix.sequences_by_file)
+        out.freq_thresholds[r] = ix.freq_threshold
+        out.total_lengths[r] = sum(c.length for c in ix.metadata)
+        out.n_uniques[r] = ix.num_unique_hashes
+        if wpos_bits is not None:
+            out.occ_packed[r, :M_r] = (
+                (ix.occ_seqid.astype(np.uint32) << wpos_bits)
+                | ix.occ_wpos.astype(np.uint32))
+            out.mi_packed[r, :M_r] = (
+                (ix.mi_seqid.astype(np.uint32) << wpos_bits)
+                | ix.mi_wpos.astype(np.uint32))
+            out.occ_lut[r] = np.minimum(
+                xputils.build_prefix_lut(np, out.occ_hash[r]), M_r)
+            out.mi_lut[r] = np.minimum(
+                xputils.build_prefix_lut(np, out.mi_packed[r]), M_r)
+            occ_r = max(occ_r, xputils.lut_rounds(out.occ_lut[r]))
+            mi_r = max(mi_r, xputils.lut_rounds(out.mi_lut[r]))
+        pv, nx = _prev_next_np(ix.mi_hash, ix.mi_seqid)
+        out.mi_prev[r, :M_r] = pv
+        out.mi_nxt[r, :M_r] = nx
+    out.freq_threshold = int(out.freq_thresholds[rows].min()) if rows \
+        else np.iinfo(np.int32).max
+    if wpos_bits is not None:
+        # even-rounded like MapperConfig; dims may carry the global max
+        # so every process compiles the identical step
+        occ_r = max(occ_r, int(dims.get("occ_rounds", 0)))
+        mi_r = max(mi_r, int(dims.get("mi_rounds", 0)))
+        out.occ_rounds = -(-max(occ_r, 4) // 2) * 2
+        out.mi_rounds = -(-max(mi_r, 4) // 2) * 2
+
+    # global sid map (host arithmetic over per-file contig counts)
+    counts = dims.get("contigs_per_file")
+    if counts is not None and len(ref_files):
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+        for r, ix in shards.items():
+            gsid = []
+            for j in range(len(ref_files)):
+                if j % n_r == r:
+                    gsid.extend(range(int(starts[j]),
+                                      int(starts[j]) + int(counts[j])))
+            out.global_sid[r, : len(gsid)] = np.asarray(gsid[:S], np.int32)
+    return out
+
 
 
 def make_sharded_rows_step(cfg: jitmap.MapperConfig, mesh: Mesh, s_max: int,
@@ -138,53 +321,64 @@ def make_sharded_rows_step(cfg: jitmap.MapperConfig, mesh: Mesh, s_max: int,
     sort order restricted to one shard's contigs equals the single-shard
     order — the thread-invariance law of fastani_tests.cpp:199-255).
 
-    Returns (gid (n_r, rows_cap) i32 local genome per row (big=pad),
-             ibits (n_r, rows_cap) i32 identity float bits,
-             n_rows (n_r,) i32 survivor count; > rows_cap = overflow).
-    """
-    G = max_local_genomes
+    Index arrays arrive as ONE dict (see _IDX_SPECS) so the packed-key /
+    probe-LUT / occurrence-link fast path of the single-device mapper runs
+    unchanged per shard; the per-shard histogram threshold is a traced
+    scalar (winSketch.hpp:199-248 computes it per split).
 
-    def local_step(frags, occ_hash, occ_sid, occ_wpos, mi_hash, mi_sid,
-                   mi_wpos, seq_start, gos, n_occ, min_hits, gate, ident2d):
-        keep2, gid2, ib2 = _map_and_dedupe(
-            cfg, s_max, frag_len, frags, occ_hash, occ_sid, occ_wpos,
-            mi_hash, mi_sid, mi_wpos, seq_start, gos, n_occ, min_hits,
-            gate, ident2d)
+    Returns (gid, ibits, sid, pos, qsid) each (n_r, rows_cap) i32 — local
+    genome (big=pad), identity float bits, local ref seq id, mean ref
+    start, global query fragment id — plus n_rows (n_r,) i32 survivor
+    count (> rows_cap = overflow).  sid/pos/qsid feed the .visual writer
+    (outputVisualizationFile, computeCoreIdentity.hpp:103-153).
+    """
+    def local_step(frags, ia, min_hits, gate, ident2d):
+        keep2, cols = _map_and_dedupe(cfg, s_max, frag_len, frags, ia,
+                                      min_hits, gate, ident2d)
         n = keep2.sum().astype(jnp.int32)
         o3 = jnp.argsort(jnp.where(keep2, 0, 1).astype(jnp.int32),
                          stable=True)[:rows_cap]
         big = jnp.int32(2**30)
-        gid_c = jnp.where(keep2[o3], gid2[o3], big)
-        ib_c = jnp.where(keep2[o3], ib2[o3], 0)
-        return gid_c[None, :], ib_c[None, :], n[None]
+        packed = [jnp.where(keep2[o3], c[o3], fill)[None, :]
+                  for c, fill in cols]
+        return tuple(packed) + (n[None],)
 
+    idx_specs = {name: P("r", None) for name in (
+        "occ_hash", "occ_sid", "occ_wpos", "mi_hash", "mi_sid", "mi_wpos",
+        "occ_packed", "mi_packed", "occ_lut", "mi_lut", "mi_prev", "mi_nxt",
+        "seq_start", "genome_of_seq")}
+    idx_specs["n_occ"] = P("r")
+    idx_specs["freq_threshold"] = P("r")
     fn = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(P("q", None, None),
-                  P("r", None), P("r", None), P("r", None),
-                  P("r", None), P("r", None), P("r", None),
-                  P("r", None), P("r", None), P("r"),
-                  P(), P(), P()),
-        out_specs=(P("r", None), P("r", None), P("r")),
+        in_specs=(P("q", None, None), idx_specs, P(), P(), P()),
+        out_specs=tuple([P("r", None)] * 5) + (P("r"),),
         check_vma=False,
     )
     return jax.jit(fn)
 
 
-def _map_and_dedupe(cfg, s_max, frag_len, frags, occ_hash, occ_sid, occ_wpos,
-                    mi_hash, mi_sid, mi_wpos, seq_start, gos, n_occ,
-                    min_hits, gate, ident2d):
+def _map_and_dedupe(cfg, s_max, frag_len, frags, ia, min_hits, gate,
+                    ident2d):
     """Shared shard-local body: map fragments, 1-way dedupe locally, gather
     1-way survivors across q, 2-way dedupe on the gathered set.  Returns
-    (keep2, gid2, ibits2) over the q-gathered, 2-way-sorted rows (identical
-    on every q device)."""
+    (keep2, [(col, fill), ...]) over the q-gathered, 2-way-sorted rows
+    (identical on every q device): gid, ibits, sid, pos, qsid."""
     frags = frags.reshape(frags.shape[-2:])
-    sq = lambda a: a.reshape(a.shape[-1:])
-    out = jitmap.map_step(cfg, frags, sq(occ_hash), sq(occ_sid),
-                          sq(occ_wpos), sq(mi_hash), sq(mi_sid),
-                          sq(mi_wpos), sq(seq_start), min_hits, gate,
-                          n_occ=sq(n_occ)[0])
-    gos1 = sq(gos)
+    sq = lambda a: a.reshape(a.shape[1:])
+    packed = cfg.wpos_bits is not None
+    out = jitmap.map_step(
+        cfg, frags, sq(ia["occ_hash"]), sq(ia["occ_sid"]),
+        sq(ia["occ_wpos"]), sq(ia["mi_hash"]), sq(ia["mi_sid"]),
+        sq(ia["mi_wpos"]), sq(ia["seq_start"]), min_hits, gate,
+        n_occ=sq(ia["n_occ"]),
+        occ_packed=sq(ia["occ_packed"]) if packed else None,
+        mi_packed=sq(ia["mi_packed"]) if packed else None,
+        mi_prev=sq(ia["mi_prev"]), mi_nxt=sq(ia["mi_nxt"]),
+        occ_lut=sq(ia["occ_lut"]) if packed else None,
+        mi_lut=sq(ia["mi_lut"]) if packed else None,
+        freq_threshold=sq(ia["freq_threshold"]))
+    gos1 = sq(ia["genome_of_seq"])
     frag_ids = out["frag"]
     qidx = jax.lax.axis_index("q")
     frag_g = frag_ids + qidx * frags.shape[0]
@@ -214,14 +408,19 @@ def _map_and_dedupe(cfg, s_max, frag_len, frags, occ_hash, occ_sid, occ_wpos,
     bin1 = jnp.where(keep1, pos1 // (frag_len - 20), big)
     sid1m = jnp.where(keep1, sid1, big)
     f1m = jnp.where(keep1, f1, big)
+    pos1m = jnp.where(keep1, pos1, 0)
     allg = lambda x: jax.lax.all_gather(x, "q", tiled=True)
-    sid_a, bin_a, ib_a, gid_a, f_a = map(allg, (sid1m, bin1, ib1, gid1, f1m))
+    sid_a, bin_a, ib_a, gid_a, f_a, pos_a = map(
+        allg, (sid1m, bin1, ib1, gid1, f1m, pos1m))
     o2 = jnp.lexsort((f_a, ib_a, bin_a, sid_a))
     s2, b2 = sid_a[o2], bin_a[o2]
     last2 = jnp.concatenate([(s2[:-1] != s2[1:]) | (b2[:-1] != b2[1:]),
                              jnp.ones((1,), bool)])
     keep2 = last2 & (s2 < big)
-    return keep2, gid_a[o2], ib_a[o2]
+    big_i = jnp.int32(2**30)
+    return keep2, [(gid_a[o2], big_i), (ib_a[o2], jnp.int32(0)),
+                   (s2, big_i), (pos_a[o2], jnp.int32(0)),
+                   (f_a[o2], big_i)]
 
 
 def make_sharded_step(cfg: jitmap.MapperConfig, mesh: Mesh, s_max: int, k: int,

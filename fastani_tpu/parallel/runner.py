@@ -1,23 +1,31 @@
 """Product entry for sharded (multi-device / multi-host) many-to-many runs.
 
-Drives the (r, q) mesh pipeline end to end — shard build, sharded mapping
-step, exact host fold, output writers — replacing the reference driver's
-OpenMP shard loop + merge (reference: src/cgi/core_genome_identity.cpp:
-46-141) and its shell-level multi-node splitting
-(scripts/splitDatabase.sh:14-39).
+Drives the (r, q) mesh pipeline end to end — distributed shard build,
+sharded mapping step, exact host fold, output writers — replacing the
+reference driver's OpenMP shard loop + merge (reference:
+src/cgi/core_genome_identity.cpp:46-141) and its shell-level multi-node
+splitting (scripts/splitDatabase.sh:14-39).
 
 Exactness: the device step returns each reference shard's 2-way survivor
 rows in 2-way sort order (parallel/mesh.make_sharded_rows_step); the host
 folds identities per (shard, local genome) sequentially in that order, so
-TSV/.matrix output is BIT-IDENTICAL to the single-shard run for any mesh
-shape and host count — the reference's thread-invariance contract
+TSV/.matrix/.visual output is BIT-IDENTICAL to the single-shard run for
+any mesh shape and host count — the reference's thread-invariance contract
 (tests/fastani_tests.cpp:199-255).  Local->global genome ids follow the
 correctRefGenomeIds law: global = local * n_r + r
 (computeCoreIdentity.hpp:457-474, :480-487).
+
+Scaling: each process sketches ONLY the reference shards its addressable
+devices own (the reference builds one Sketch per OpenMP split,
+winSketch.hpp:109-115); shard padding dims are agreed via a tiny
+allgather, and global index arrays assemble from per-device buffers —
+nothing is replicated across hosts.  --saveIndex/--loadIndex persist each
+shard as ``{prefix}.r{r}of{n_r}.npz``.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import sys
 import time
 from typing import List, Optional
@@ -29,11 +37,35 @@ from fastani_tpu.models import ani, jitmap, output, pipeline
 from fastani_tpu.parallel import distributed, mesh as pmesh
 
 
+def _shard_sanity(sidx, max_ratio_diff: float):
+    """Per-shard repeat sanity ratios (winSketch.hpp:298-318; reported per
+    split at core_genome_identity.cpp:125-130).  Returns (ok (n_r,) bool,
+    ratio_diff (n_r,) float32); only owned rows are meaningful."""
+    n_r = sidx.n_r
+    ok = np.ones(n_r, bool)
+    diffs = np.zeros(n_r, np.float32)
+    for r in (sidx.owned_rows if sidx.owned_rows is not None
+              else range(n_r)):
+        total = float(sidx.n_occ[r])
+        uniq = float(sidx.n_uniques[r])
+        length = float(sidx.total_lengths[r])
+        if total == 0 or uniq == 0:
+            ok[r] = False
+            diffs[r] = np.float32("nan")
+            continue
+        hr = np.float32(length) / np.float32(total)
+        ur = np.float32(length) / np.float32(uniq)
+        diffs[r] = abs(np.float32(hr) - np.float32(ur))
+        ok[r] = not (diffs[r] > max_ratio_diff)
+    return ok, diffs
+
+
 def run_sharded(params: Parameters, n_r: Optional[int] = None,
                 n_q: Optional[int] = None,
                 coordinator: Optional[str] = None,
                 num_processes: Optional[int] = None,
                 process_id: Optional[int] = None,
+                backend: str = "numpy",
                 log=lambda m: print(m, file=sys.stderr)) -> List[ani.CGIResult]:
     """Full sharded run; every participating process calls this with the
     same arguments.  Process 0 writes the output files and returns the CGI
@@ -52,9 +84,49 @@ def run_sharded(params: Parameters, n_r: Optional[int] = None,
         f"process {pid}/{jax.process_count()}")
 
     t0 = time.time()
-    sidx = pmesh.build_sharded_index(params, params.ref_sequences, n_r)
-    log(f"INFO, fastani_tpu, {n_r} reference shards sketched in "
-        f"{time.time()-t0:.2f}s")
+    multi = jax.process_count() > 1
+    rows = plan.my_r_rows if multi else None
+    device_build = (backend == "jax" and jax.default_backend() == "tpu")
+    shards = pmesh.build_shards(
+        params, params.ref_sequences, n_r, rows=rows, device=device_build,
+        save_prefix=params.save_index, load_prefix=params.load_index)
+    dims = pmesh.local_shard_dims(shards, params.ref_sequences, n_r)
+    if multi:
+        # agree on global padding widths so every process places
+        # identically shaped buffers (this process never sees the other
+        # hosts' shard contents)
+        dims = distributed.allgather_shard_dims(dims)
+    sidx = pmesh.build_sharded_index(
+        params, params.ref_sequences, n_r, rows=rows, shards=shards,
+        dims=dims)
+    log(f"INFO, fastani_tpu, {len(sidx.owned_rows)} of {n_r} reference "
+        f"shards sketched in {time.time()-t0:.2f}s")
+
+    # per-shard repeat sanity check (reference: per split)
+    sane = np.ones(n_r, bool)
+    if params.sanity_check:
+        sane, diffs = _shard_sanity(sidx, params.max_ratio_diff)
+        if multi:
+            from jax.experimental import multihost_utils
+
+            owned = np.zeros(n_r, bool)
+            owned[list(sidx.owned_rows)] = True
+            allsane = multihost_utils.process_allgather(
+                np.where(owned, sane, True))
+            alldiff = multihost_utils.process_allgather(
+                np.where(owned, diffs, 0.0))
+            sane = allsane.all(axis=0)
+            diffs = alldiff.max(axis=0)
+        for r in range(n_r):
+            if not sane[r]:
+                log(f"ERROR :: SPLIT {r}'s ratio difference {diffs[r]} "
+                    f"exceeds maximum thresholds.")
+        # offending shards contribute no mappings (the reference skips the
+        # split's whole map loop, core_genome_identity.cpp:79-80)
+        for r in np.nonzero(~sane)[0]:
+            if sidx.owned_rows is None or r in sidx.owned_rows:
+                sidx.occ_hash[r] = 0xFFFFFFFF
+                sidx.n_occ[r] = 0
 
     # query fragments for all query genomes (replicated; queries are the
     # small side, as in the reference)
@@ -65,48 +137,63 @@ def run_sharded(params: Parameters, n_r: Optional[int] = None,
     rows_cap = max(128, -(-(n_q * F_local * max(sidx.max_local_genomes, 1))
                           // 128) * 128)
 
-    cfg = jitmap.MapperConfig.from_params(
-        params, sidx.freq_threshold,
-        unit_factor=max(4, sidx.max_local_genomes + 2))
-    cfg = cfg.__class__(**{**cfg.__dict__,
-                           "unit_cap": F_local * max(4, sidx.max_local_genomes + 2),
-                           "unit_chunk": min(128, max(8, F_local))})
+    def make_cfg():
+        cfg = jitmap.MapperConfig.from_params(
+            params, sidx.freq_threshold,
+            unit_factor=max(4, sidx.max_local_genomes + 2))
+        return dataclasses.replace(
+            cfg,
+            unit_cap=F_local * max(4, sidx.max_local_genomes + 2),
+            unit_chunk=min(128, max(8, F_local)),
+            wpos_bits=sidx.wpos_bits,
+            occ_rounds=sidx.occ_rounds, mi_rounds=sidx.mi_rounds)
+
+    cfg = make_cfg()
     s_max = params.sketch_cap
-    step = pmesh.make_sharded_rows_step(cfg, plan.mesh, s_max,
-                                        params.kmer_size, params.frag_len,
-                                        sidx.max_local_genomes, rows_cap)
     min_hits = jnp.asarray(stats.min_hits_lut(
         params.kmer_size, params.percentage_identity, s_max))
     gate = jnp.asarray(jitmap.gate_lut_np(
         params.kmer_size, params.percentage_identity, s_max))
     ident2d = jnp.asarray(pmesh.point_identity_lut(s_max, params.kmer_size))
     idx_arrays = distributed.shard_index_arrays(plan, sidx)
+    idx_arrays.pop("n_genomes", None)
+
+    step = pmesh.make_sharded_rows_step(cfg, plan.mesh, s_max,
+                                        params.kmer_size, params.frag_len,
+                                        sidx.max_local_genomes, rows_cap)
 
     final: List[ani.CGIResult] = []
+    visual_by_q: List[list] = [[] for _ in qfs]
     t0 = time.time()
     for qno, qf in enumerate(qfs):
         F_total = len(qf.frags)
         padded = np.zeros((n_q * F_local, params.frag_len), np.uint8)
         padded[:F_total] = qf.frags
-        stacked = padded.reshape(n_q, F_local, params.frag_len)
-        gid_rows, ib_rows, n_rows = step(
-            jnp.asarray(stacked), idx_arrays["occ_hash"],
-            idx_arrays["occ_sid"], idx_arrays["occ_wpos"],
-            idx_arrays["mi_hash"], idx_arrays["mi_sid"],
-            idx_arrays["mi_wpos"], idx_arrays["seq_start"],
-            idx_arrays["genome_of_seq"], idx_arrays["n_occ"],
-            min_hits, gate, ident2d)
-        gid_rows, ib_rows, n_rows = distributed.gather_rows(
-            gid_rows, ib_rows, n_rows)
-        if (n_rows > rows_cap).any():
-            raise RuntimeError("sharded rows_cap overflow; raise rows_cap")
-        # exact host fold per (shard, local genome), frag-id remapping
-        # back to global query seq ids is not needed (counts only)
+        stacked = jnp.asarray(padded.reshape(n_q, F_local, params.frag_len))
+        while True:
+            outs = step(stacked, idx_arrays, min_hits, gate, ident2d)
+            outs = distributed.gather_rows(*outs)
+            (gid_rows, ib_rows, sid_rows, pos_rows, qsid_rows,
+             n_rows) = outs
+            if not (n_rows > rows_cap).any():
+                break
+            # graceful overflow: double the row capacity and re-run this
+            # query (recompile is rare and bounded)
+            rows_cap = int(max(n_rows.max(), 2 * rows_cap))
+            rows_cap = -(-rows_cap // 128) * 128
+            log(f"INFO, fastani_tpu, survivor rows exceeded capacity; "
+                f"retrying query {qno + 1} with rows_cap={rows_cap}")
+            step = pmesh.make_sharded_rows_step(
+                cfg, plan.mesh, s_max, params.kmer_size, params.frag_len,
+                sidx.max_local_genomes, rows_cap)
+        # exact host fold per (shard, local genome), in 2-way row order
         for r in range(n_r):
             n = int(n_rows[r])
             g_r = np.asarray(gid_rows[r][:n])
             i_r = np.asarray(ib_rows[r][:n]).view(np.float32)
-            n_local = int(sidx.n_genomes[r])
+            # known from the round-robin law on every process, whether or
+            # not this process owns (sketched) shard r
+            n_local = len(pmesh.shard_files(params.ref_sequences, n_r, r))
             for gl in range(n_local):
                 sel = g_r == gl
                 cnt = int(sel.sum())
@@ -121,6 +208,34 @@ def run_sharded(params: Parameters, n_r: Optional[int] = None,
                     count_seq=cnt,
                     total_query_fragments=qf.total_fragments,
                     identity=np.float32(acc / np.float32(cnt))))
+        if params.visualize:
+            # merge shards into the single-device 2-way order: (sid, bin)
+            # groups are disjoint across shards, so a host sort by
+            # (global sid, pos bin) reproduces compute_cgi_arrays' order
+            cols = []
+            for r in range(n_r):
+                n = int(n_rows[r])
+                if not n:
+                    continue
+                sid_l = np.asarray(sid_rows[r][:n])
+                gsid = sidx.global_sid[r][np.clip(sid_l, 0,
+                                                  sidx.global_sid.shape[1] - 1)]
+                cols.append(np.stack([
+                    gsid,
+                    np.asarray(pos_rows[r][:n]),
+                    np.asarray(qsid_rows[r][:n]),
+                    np.asarray(ib_rows[r][:n]),
+                    np.asarray(gid_rows[r][:n]) * n_r + r]))
+            if cols:
+                allc = np.concatenate(cols, axis=1)
+                b = allc[1] // (params.frag_len - 20)
+                order = np.lexsort((b, allc[0]))
+                visual_by_q[qno] = [ani.VisualRow(
+                    genome_id=int(allc[4, i]), ref_seq_id=int(allc[0, i]),
+                    query_seq_id=int(allc[2, i]), ref_start=int(allc[1, i]),
+                    query_start=0,
+                    identity=allc[3, i:i + 1].view(np.float32)[0])
+                    for i in order]
     log(f"INFO, fastani_tpu, mapped {len(qfs)} queries on the mesh in "
         f"{time.time()-t0:.2f}s")
 
@@ -132,8 +247,21 @@ def run_sharded(params: Parameters, n_r: Optional[int] = None,
             if e not in genome_lengths:
                 genome_lengths[e] = fasta.genome_length_for_ani(
                     e, params.frag_len)
-        output.write_cgi(final, genome_lengths, params, params.out_file_name)
+        out_path = params.out_file_name
+        if params.visualize:
+            # global per-contig offsets over ALL reference contigs, exactly
+            # like the single-device path (pipeline.run)
+            ref_lens = [len(seq) for rf in params.ref_sequences
+                        for _, seq in fasta.read_sequences(rf)]
+            ref_offsets = np.concatenate(
+                [[0], np.cumsum(ref_lens)[:-1]]) if ref_lens \
+                else np.zeros(0, np.int64)
+            open(out_path + ".visual", "w").close()
+            for qno, qf in enumerate(qfs):
+                output.write_visual(visual_by_q[qno], params, qno,
+                                    qf.vis_offsets, ref_offsets, out_path,
+                                    append=True)
+        output.write_cgi(final, genome_lengths, params, out_path)
         if params.matrix_output:
-            output.write_phylip(final, genome_lengths, params,
-                                params.out_file_name)
+            output.write_phylip(final, genome_lengths, params, out_path)
     return final

@@ -147,3 +147,88 @@ def test_runner_exact_vs_pipeline(world, tmp_path):
     for kk in want_d:
         assert got_d[kk].count_seq == want_d[kk].count_seq, kk
         assert np.float32(got_d[kk].identity) == np.float32(want_d[kk].identity), kk
+
+
+def test_cli_mesh_sanity_and_visual_match_single(world, tmp_path):
+    """--mesh with -s and --visualize: output files (incl. .visual) must be
+    byte-equal to the single-device run (reference: per-split sanityCheck
+    reporting + per-thread .visual concat, core_genome_identity.cpp:125-165;
+    our canonical order is the -t 1 form)."""
+    params, refs, query = world
+    qpath = str(tmp_path / "query.fa")
+    synth.write_fasta(qpath, [("q0", query)])
+    lst = str(tmp_path / "refs.txt")
+    with open(lst, "w") as f:
+        f.write("\n".join(refs) + "\n")
+
+    from fastani_tpu import cli
+
+    single = str(tmp_path / "single.txt")
+    meshed = str(tmp_path / "meshed.txt")
+    base_args = ["-q", qpath, "--rl", lst, "--fragLen", "1000",
+                 "--matrix", "-s", "--visualize"]
+    assert cli.main(base_args + ["-o", single]) == 0
+    assert cli.main(base_args + ["-o", meshed, "--mesh", "2x4"]) == 0
+    for suf in ("", ".matrix", ".visual"):
+        a = open(single + suf).read()
+        b = open(meshed + suf).read()
+        assert a == b, suf
+    assert open(single + ".visual").read().strip()
+
+
+def test_mesh_sanity_rejects_repeats(world, tmp_path):
+    """A repeat-degenerate shard must be flagged and contribute no rows in
+    mesh mode (reference skips the failing split's map loop)."""
+    params, refs, query = world
+    # shard 1 (files 1, 3) replaced by a pure-AT repeat genome
+    bad = str(tmp_path / "bad.fa")
+    synth.write_fasta(bad, [("bad", np.frombuffer(b"AT" * 6000,
+                                                  np.uint8).copy())])
+    mixed = [refs[0], bad, refs[2], bad]
+    lst = str(tmp_path / "refs.txt")
+    with open(lst, "w") as f:
+        f.write("\n".join(mixed) + "\n")
+    qpath = str(tmp_path / "query.fa")
+    synth.write_fasta(qpath, [("q0", query)])
+
+    from fastani_tpu import cli
+
+    out = str(tmp_path / "mesh_s.txt")
+    err = []
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stderr(buf):
+        assert cli.main(["-q", qpath, "--rl", lst, "--fragLen", "1000",
+                         "-s", "--maxRatioDiff", "0.5",
+                         "-o", out, "--mesh", "2x4"]) == 0
+    msgs = buf.getvalue()
+    assert "SPLIT 1" in msgs and "exceeds maximum thresholds" in msgs
+    for line in open(out):
+        assert bad not in line.split("\t")[1]
+
+
+def test_mesh_index_persist_roundtrip(world, tmp_path):
+    """--saveIndex/--loadIndex on the mesh path: per-shard .npz files, and
+    a load-run byte-equal to the build-run."""
+    params, refs, query = world
+    qpath = str(tmp_path / "query.fa")
+    synth.write_fasta(qpath, [("q0", query)])
+    lst = str(tmp_path / "refs.txt")
+    with open(lst, "w") as f:
+        f.write("\n".join(refs) + "\n")
+
+    from fastani_tpu import cli
+
+    saved = str(tmp_path / "built.txt")
+    loaded = str(tmp_path / "loaded.txt")
+    idx = str(tmp_path / "shardidx")
+    base = ["-q", qpath, "--rl", lst, "--fragLen", "1000", "--mesh", "2x4"]
+    assert cli.main(base + ["-o", saved, "--saveIndex", idx]) == 0
+    import os
+
+    assert os.path.exists(idx + ".r0of2.npz")
+    assert os.path.exists(idx + ".r1of2.npz")
+    assert cli.main(base + ["-o", loaded, "--loadIndex", idx]) == 0
+    assert open(saved).read() == open(loaded).read()
+    assert open(saved).read().strip()

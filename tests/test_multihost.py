@@ -53,13 +53,17 @@ def test_two_process_run_matches_single(tmp_path):
     out_multi = str(tmp_path / "multi.txt")
     driver = _DRIVER.format(repo=repo, refs=refs, query=qpath,
                             out=out_multi, coord=coord)
-    env = dict(os.environ,
-               JAX_PLATFORMS="cpu",
-               XLA_FLAGS="--xla_force_host_platform_device_count=4",
-               PYTHONPATH=repo)
-    procs = [subprocess.Popen([sys.executable, "-c", driver, str(i)],
-                              env=env, stdout=subprocess.PIPE,
-                              stderr=subprocess.PIPE) for i in range(2)]
+    traces = [str(tmp_path / f"reads{i}.log") for i in range(2)]
+    procs = []
+    for i in range(2):
+        env = dict(os.environ,
+                   JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=4",
+                   PYTHONPATH=repo,
+                   FASTANI_TRACE_READS=traces[i])
+        procs.append(subprocess.Popen([sys.executable, "-c", driver, str(i)],
+                                      env=env, stdout=subprocess.PIPE,
+                                      stderr=subprocess.PIPE))
     outs = [p.communicate(timeout=600) for p in procs]
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, se.decode()[-2000:]
@@ -78,3 +82,10 @@ def test_two_process_run_matches_single(tmp_path):
     a = open(out_multi).read()
     b = open(p1.out_file_name).read()
     assert a == b and a.strip(), (a, b)
+
+    # the index build is DISTRIBUTED: process 1 owns r-row 1 (files
+    # j % 2 == 1) and must never have parsed the other shard's genomes
+    # during its run (process 0 reads everything for the output writers)
+    reads1 = set(open(traces[1]).read().split())
+    assert refs[1] in reads1 and refs[3] in reads1
+    assert refs[0] not in reads1 and refs[2] not in reads1
