@@ -57,13 +57,27 @@ def workdir(tmp_path_factory):
     return wd
 
 
-def run_ours(wd, args):
+@pytest.fixture(scope="module", params=["numpy", "jax"])
+def backend(request):
+    """Every e2e case runs against BOTH backends: the numpy host path and
+    the jitted jax path (JitMapper + batched pipeline + LUT identities),
+    with the Pallas kernels active in interpret mode so the TPU code path
+    is the one being byte-checked (VERDICT r2 weak #7)."""
+    if request.param == "jax":
+        os.environ["FASTANI_PALLAS_WINNOW"] = "interpret"
+        yield "jax"
+        os.environ.pop("FASTANI_PALLAS_WINNOW", None)
+    else:
+        yield "numpy"
+
+
+def run_ours(wd, args, backend="numpy"):
     from fastani_tpu import cli
 
     cwd = os.getcwd()
     os.chdir(wd)
     try:
-        rc = cli.main(args)
+        rc = cli.main(list(args) + ["--backend", backend])
         assert rc == 0
     finally:
         os.chdir(cwd)
@@ -77,25 +91,29 @@ def compare_outputs(wd, ours, oracle, visual=False, matrix=False):
         assert _read_sorted(wd / (ours + ".visual")) == _read_sorted(wd / (oracle + ".visual")), "visual differs"
 
 
-def test_one_to_one(workdir):
+def test_one_to_one(workdir, backend):
     wd = workdir
     synth.run_oracle(str(wd), ["-q", "base.fa", "-r", "strainA.fa",
-                               "-o", "o_ref.txt", "--visualize", "--matrix"])
-    run_ours(wd, ["-q", "base.fa", "-r", "strainA.fa", "-o", "o_our.txt",
-                  "--visualize", "--matrix"])
-    compare_outputs(wd, "o_our.txt", "o_ref.txt", visual=True, matrix=True)
+                               "-o", f"o_ref_{backend}.txt", "--visualize", "--matrix"])
+    run_ours(wd, ["-q", "base.fa", "-r", "strainA.fa",
+                  "-o", f"o_our_{backend}.txt",
+                  "--visualize", "--matrix"], backend)
+    compare_outputs(wd, f"o_our_{backend}.txt", f"o_ref_{backend}.txt",
+                    visual=True, matrix=True)
 
 
-def test_one_to_many_multicontig(workdir):
+def test_one_to_many_multicontig(workdir, backend):
     wd = workdir
     synth.run_oracle(str(wd), ["-q", "multi.fa", "--rl", "refs.txt",
-                               "-o", "m_ref.txt", "--visualize", "--matrix"])
-    run_ours(wd, ["-q", "multi.fa", "--rl", "refs.txt", "-o", "m_our.txt",
-                  "--visualize", "--matrix"])
-    compare_outputs(wd, "m_our.txt", "m_ref.txt", visual=True, matrix=True)
+                               "-o", f"m_ref_{backend}.txt", "--visualize", "--matrix"])
+    run_ours(wd, ["-q", "multi.fa", "--rl", "refs.txt",
+                  "-o", f"m_our_{backend}.txt",
+                  "--visualize", "--matrix"], backend)
+    compare_outputs(wd, f"m_our_{backend}.txt", f"m_ref_{backend}.txt",
+                    visual=True, matrix=True)
 
 
-def test_repeat_sanity_check_zero_rows(workdir):
+def test_repeat_sanity_check_zero_rows(workdir, backend):
     wd = workdir
     # degenerate repeat genomes (reference tests/gen_tests_data.py pattern):
     # pure-A query vs 8A+1T repeat reference must produce zero output rows
@@ -106,20 +124,24 @@ def test_repeat_sanity_check_zero_rows(workdir):
     synth.write_fasta(wd / "rpt_q.fa", [("q", q.copy())])
     synth.write_fasta(wd / "rpt_r.fa", [("r", r.copy())])
     synth.run_oracle(str(wd), ["-q", "rpt_q.fa", "-r", "rpt_r.fa",
-                               "-o", "r_ref.txt", "-s", "--matrix"])
-    run_ours(wd, ["-q", "rpt_q.fa", "-r", "rpt_r.fa", "-o", "r_our.txt",
-                  "-s", "--matrix"])
-    assert _read_sorted(wd / "r_our.txt") == _read_sorted(wd / "r_ref.txt") == []
+                               "-o", f"r_ref_{backend}.txt", "-s", "--matrix"])
+    run_ours(wd, ["-q", "rpt_q.fa", "-r", "rpt_r.fa",
+                  "-o", f"r_our_{backend}.txt",
+                  "-s", "--matrix"], backend)
+    assert _read_sorted(wd / f"r_our_{backend}.txt") == \
+        _read_sorted(wd / f"r_ref_{backend}.txt") == []
 
 
-def test_visual_offsets_short_contig_both_orders(workdir):
+def test_visual_offsets_short_contig_both_orders(workdir, backend):
     """Byte-parity of .visual global query offsets when a short
     (unmappable) contig precedes or follows the mapped contig — the
     reference's offset bookkeeping quirk, both ways."""
     wd = workdir
     for tag, q in (("sf", "shortfirst.fa"), ("sl", "shortlast.fa")):
         synth.run_oracle(str(wd), ["-q", q, "--rl", "refs.txt",
-                                   "-o", f"{tag}_ref.txt", "--visualize"])
-        run_ours(wd, ["-q", q, "--rl", "refs.txt", "-o", f"{tag}_our.txt",
-                      "--visualize"])
-        compare_outputs(wd, f"{tag}_our.txt", f"{tag}_ref.txt", visual=True)
+                                   "-o", f"{tag}_ref_{backend}.txt", "--visualize"])
+        run_ours(wd, ["-q", q, "--rl", "refs.txt",
+                      "-o", f"{tag}_our_{backend}.txt",
+                      "--visualize"], backend)
+        compare_outputs(wd, f"{tag}_our_{backend}.txt",
+                        f"{tag}_ref_{backend}.txt", visual=True)
