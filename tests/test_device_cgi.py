@@ -184,3 +184,36 @@ def test_streaming_cgi_matches_oneshot():
     got_c, got_s = cgi.result()
     np.testing.assert_array_equal(got_c, want_c)
     np.testing.assert_allclose(got_s, want_s, rtol=2e-6, atol=1e-4)
+
+
+def test_lazy_path_ingest_matches_preloaded(tmp_path):
+    """map_queries_cgi_device accepts query PATHS and streams them with
+    bounded host memory; result equals the preloaded-array run."""
+    from tests import synth
+
+    from fastani_tpu.config import Parameters
+    from fastani_tpu.index.sketch import ReferenceIndex
+    from fastani_tpu.models import jitmap, pipeline
+
+    rng = np.random.default_rng(29)
+    base = synth.random_genome(rng, 50_000)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"g{i}.fa"
+        synth.write_fasta(p, [(f"g{i}", synth.mutate_genome(rng, base,
+                                                            0.01 + 0.02 * i))])
+        paths.append(str(p))
+    params = Parameters(frag_batch=16).finalize()
+    params.ref_sequences = list(paths)
+    params.query_sequences = list(paths)
+    index = ReferenceIndex.build(params)
+    mapper = jitmap.JitMapper(params, index, unit_factor=5, unit_chunk=16)
+    G = len(paths)
+
+    preloaded = [pipeline.load_query_fragments(p, params) for p in paths]
+    want_c, want_s = pipeline.map_queries_cgi_device(
+        preloaded, index, params, mapper, G, G)
+    got_c, got_s = pipeline.map_queries_cgi_device(
+        list(paths), index, params, mapper, G, G)
+    np.testing.assert_array_equal(got_c, want_c)
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-6)
