@@ -127,6 +127,78 @@ def map_query(query_frags: QueryFragments, index: ReferenceIndex,
     return mappings
 
 
+class FragmentStream:
+    """Lazy global-row view over query genomes.
+
+    Entries may be preloaded QueryFragments or PATHS; paths are parsed
+    once for the batch plan (counts + visual metadata) and reloaded on
+    demand while batches consume them, with eviction once a query's rows
+    are behind the stream head — host memory holds only the genomes
+    spanning the in-flight batches (the reference streams queries one
+    kseq record at a time, computeMap.hpp:132).
+    """
+
+    def __init__(self, queries, params: Parameters):
+        self.queries = list(queries)
+        self.params = params
+        self._cache: Dict[int, QueryFragments] = {}
+        self.meta: Dict[int, tuple] = {}
+        counts = []
+        for i, q in enumerate(self.queries):
+            qf = q if not isinstance(q, str) \
+                else load_query_fragments(q, params)
+            self.meta[i] = (len(qf.frags), qf.total_fragments,
+                            qf.vis_offsets)
+            counts.append(len(qf.frags))
+            del qf
+        self.offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        self.F = int(self.offsets[-1])
+
+    def qno_of_row(self, row: int) -> int:
+        return int(np.searchsorted(self.offsets, row, side="right")) - 1
+
+    def total_fragments(self, qno: int) -> int:
+        return self.meta[qno][1]
+
+    def vis_offsets(self, qno: int) -> np.ndarray:
+        return self.meta[qno][2]
+
+    def get_query(self, qno: int) -> QueryFragments:
+        q = self.queries[qno]
+        if not isinstance(q, str):
+            return q
+        if qno not in self._cache:
+            self._cache[qno] = load_query_fragments(q, self.params)
+        return self._cache[qno]
+
+    def evict_up_to(self, qno: int) -> None:
+        """Drop cached fragment arrays of lazy queries < qno."""
+        for k in [k for k in self._cache if k < qno]:
+            del self._cache[k]
+
+    def make_batch(self, b0: int, B: int):
+        """Assemble rows [b0, b0+B) (zero-padded past F).  Returns
+        (frags (B, L) u8, qno_row (B,) i32, gid_row (B,) i32, n_used)."""
+        L = self.params.frag_len
+        frags = np.zeros((B, L), np.uint8)
+        qno_row = np.zeros(B, np.int32)
+        gid_row = np.zeros(B, np.int32)
+        n = min(B, self.F - b0)
+        r = 0
+        qno = self.qno_of_row(b0)
+        while r < n:
+            qf = self.get_query(qno)
+            lo = b0 + r - int(self.offsets[qno])
+            take = min(n - r, len(qf.frags) - lo)
+            frags[r:r + take] = qf.frags[lo:lo + take]
+            qno_row[r:r + take] = qno
+            gid_row[r:r + take] = qf.frag_ids[lo:lo + take]
+            r += take
+            qno += 1
+        return frags, qno_row, gid_row, n
+
+
+
 def map_queries_batched(queries: List[QueryFragments], index: ReferenceIndex,
                         params: Parameters, jit_mapper) -> List[dict]:
     """Map MANY query genomes in shared full-size device batches.
@@ -145,18 +217,13 @@ def map_queries_batched(queries: List[QueryFragments], index: ReferenceIndex,
     from fastani_tpu.utils import refmodel
 
     B = params.frag_batch
-    L = params.frag_len
-    all_frags = np.concatenate([q.frags for q in queries]) \
-        if queries else np.zeros((0, L), np.uint8)
-    qno_of_row = np.concatenate([
-        np.full(len(q.frags), i, np.int32) for i, q in enumerate(queries)]) \
-        if queries else np.zeros(0, np.int32)
-    gid_of_row = np.concatenate([q.frag_ids for q in queries]) \
-        if queries else np.zeros(0, np.int32)
+    stream = queries if isinstance(queries, FragmentStream) \
+        else FragmentStream(queries, params)
+    n_queries = len(stream.queries)
+    F = stream.F
 
     cols = {k: [] for k in ("qno", "qsid", "sid", "start", "ident")}
     hindex = None
-    F = len(all_frags)
 
     # depth-2 dispatch pipeline: batch i+1 is enqueued (H2D + launch)
     # before batch i's results are fetched, so tunnel latency overlaps
@@ -166,37 +233,38 @@ def map_queries_batched(queries: List[QueryFragments], index: ReferenceIndex,
     starts = list(range(0, F, B))
 
     def results_iter():
-        if not pipelined:
-            for b0 in starts:
-                yield b0, jit_mapper(all_frags[b0:b0 + B])
-            return
         inflight = []
         for b0 in starts:
-            inflight.append((b0, jit_mapper.dispatch(all_frags[b0:b0 + B])))
+            batch, qno_row, gid_row, n = stream.make_batch(b0, B)
+            if not pipelined:
+                yield batch, qno_row, gid_row, jit_mapper(batch[:n])
+                continue
+            inflight.append((batch, qno_row, gid_row,
+                             jit_mapper.dispatch(batch[:n])))
             if len(inflight) >= 2:
-                p0, h = inflight.pop(0)
-                yield p0, jit_mapper.collect(h)
-        for p0, h in inflight:
-            yield p0, jit_mapper.collect(h)
+                bt, qr, gr, h = inflight.pop(0)
+                yield bt, qr, gr, jit_mapper.collect(h)
+                stream.evict_up_to(stream.qno_of_row(b0))
+        for bt, qr, gr, h in inflight:
+            yield bt, qr, gr, jit_mapper.collect(h)
 
-    for b0, out in results_iter():
+    for batch, qno_row, gid_row, out in results_iter():
         if len(out["frag"]):
             ident, _ = stats.identities_for(out["shared"], out["sketch"],
                                             params.kmer_size)
-            rows = b0 + out["frag"]
-            cols["qno"].append(qno_of_row[rows])
-            cols["qsid"].append(gid_of_row[rows])
+            rows = out["frag"]
+            cols["qno"].append(qno_row[rows])
+            cols["qsid"].append(gid_row[rows])
             cols["sid"].append(out["sid"])
             cols["start"].append(out["mean_pos"])
             cols["ident"].append(ident)
         for fb in out["fallback_frags"]:
             if hindex is None:
                 hindex = index.host_view()
-            row = b0 + fb
-            ms = refmodel.map_fragment(all_frags[row], hindex, params,
-                                       int(gid_of_row[row]))
+            ms = refmodel.map_fragment(batch[int(fb)], hindex, params,
+                                       int(gid_row[int(fb)]))
             if ms:
-                cols["qno"].append(np.full(len(ms), qno_of_row[row], np.int32))
+                cols["qno"].append(np.full(len(ms), qno_row[int(fb)], np.int32))
                 cols["qsid"].append(np.array([m.query_seq_id for m in ms], np.int64))
                 cols["sid"].append(np.array([m.ref_seq_id for m in ms], np.int64))
                 cols["start"].append(np.array([m.ref_start_pos for m in ms], np.int64))
@@ -214,7 +282,7 @@ def map_queries_batched(queries: List[QueryFragments], index: ReferenceIndex,
         ident = np.zeros(0, np.float32)
 
     out_list = []
-    for i in range(len(queries)):
+    for i in range(n_queries):
         sel = qno == i
         out_list.append(dict(query_seq_id=qsid[sel], ref_seq_id=sid[sel],
                              ref_start_pos=start[sel], ident=ident[sel]))
@@ -243,58 +311,14 @@ def map_queries_cgi_device(queries: List[QueryFragments], index: ReferenceIndex,
     from fastani_tpu.utils import refmodel
 
     B = params.frag_batch
-    L = params.frag_len
-
-    # ---- streaming ingest: entries may be QueryFragments (preloaded) or
-    # paths (lazy).  Lazy queries are parsed twice — a cheap counting pass
-    # here, then on demand during mapping, with eviction once consumed —
-    # so host memory holds only the few genomes spanning the in-flight
-    # batches, not the whole query set (VERDICT r2 weak #6).
-    def n_frags_of(i):
-        q = queries[i]
-        if isinstance(q, str):
-            return len(load_query_fragments(q, params).frags)
-        return len(q.frags)
-
-    counts = [n_frags_of(i) for i in range(len(queries))]
-    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-    F = int(offsets[-1])
+    stream = queries if isinstance(queries, FragmentStream) \
+        else FragmentStream(queries, params)
+    F = stream.F
     if not F:
         return (np.zeros((n_query_genomes, n_ref_genomes), np.int32),
                 np.zeros((n_query_genomes, n_ref_genomes), np.float32))
     starts = list(range(0, F, B))
-
-    def qno_of_row(row):
-        return int(np.searchsorted(offsets, row, side="right")) - 1
-
-    _cache: Dict[int, QueryFragments] = {}
-
-    def get_query(qno):
-        q = queries[qno]
-        if not isinstance(q, str):
-            return q
-        if qno not in _cache:
-            _cache[qno] = load_query_fragments(q, params)
-        return _cache[qno]
-
-    def make_batch(b0):
-        """Assemble rows [b0, b0+B) from the spanning queries."""
-        frags = np.zeros((B, L), np.uint8)
-        qno_row = np.zeros(B, np.int32)
-        gid_row = np.zeros(B, np.int32)
-        n = min(B, F - b0)
-        r = 0
-        qno = qno_of_row(b0)
-        while r < n:
-            qf = get_query(qno)
-            lo = b0 + r - int(offsets[qno])
-            take = min(n - r, len(qf.frags) - lo)
-            frags[r:r + take] = qf.frags[lo:lo + take]
-            qno_row[r:r + take] = qno
-            gid_row[r:r + take] = qf.frag_ids[lo:lo + take]
-            r += take
-            qno += 1
-        return frags, qno_row, gid_row
+    qno_of_row = stream.qno_of_row
 
     # streaming accumulator: slots recycle, so size the slot ring to the
     # max distinct query genomes any single batch touches
@@ -338,12 +362,12 @@ def map_queries_cgi_device(queries: List[QueryFragments], index: ReferenceIndex,
         fin_to = qno_of_row(nb) if nb < F else n_query_genomes
         while next_fin < fin_to:
             cgi.finalize_query(next_fin)
-            _cache.pop(next_fin, None)       # evict consumed lazy queries
             next_fin += 1
+        stream.evict_up_to(next_fin)         # drop consumed lazy queries
 
     inflight = []
     for b0 in starts:
-        batch, qno_row, gid_row = make_batch(b0)
+        batch, qno_row, gid_row, _n = stream.make_batch(b0, B)
         inflight.append((b0, batch, qno_row, gid_row,
                          jit_mapper.dispatch(batch, qno_row, gid_row)))
         if len(inflight) >= 2:
@@ -353,7 +377,6 @@ def map_queries_cgi_device(queries: List[QueryFragments], index: ReferenceIndex,
         handle_result(p0, bt, qr, gr, *jit_mapper.collect_device(h))
     while next_fin < n_query_genomes:
         cgi.finalize_query(next_fin)
-        _cache.pop(next_fin, None)
         next_fin += 1
     return cgi.result()
 
@@ -417,11 +440,12 @@ def run(params: Parameters, backend: str = "numpy",
         jit_mapper = jitmap.JitMapper(params, index)
 
     if sane:
+        stream = None
         if backend == "jax":
-            # fragments from all queries share full-size device batches
+            # fragments from all queries share full-size device batches,
+            # streamed lazily with bounded host memory
             t0 = time.time()
-            qfs = [load_query_fragments(q, params)
-                   for q in params.query_sequences]
+            stream = FragmentStream(list(params.query_sequences), params)
             import contextlib
             prof = contextlib.nullcontext()
             if params.profile_dir:
@@ -430,25 +454,24 @@ def run(params: Parameters, backend: str = "numpy",
                 prof = jax.profiler.trace(params.profile_dir,
                                           create_perfetto_trace=True)
             with prof:
-                maps_per_q = map_queries_batched(qfs, index, params,
+                maps_per_q = map_queries_batched(stream, index, params,
                                                  jit_mapper)
-            log(f"INFO, fastani_tpu, mapped {len(qfs)} queries "
-                f"({sum(len(q.frags) for q in qfs)} fragments) in "
-                f"{time.time()-t0:.2f}s")
+            log(f"INFO, fastani_tpu, mapped {len(stream.queries)} queries "
+                f"({stream.F} fragments) in {time.time()-t0:.2f}s")
             if params.profile_dir:
                 log(f"INFO, fastani_tpu, profiler trace written to "
                     f"{params.profile_dir}")
-        else:
-            qfs = None
 
         for qno, qpath in enumerate(params.query_sequences):
             t0 = time.time()
-            if qfs is not None:
-                qf, m = qfs[qno], maps_per_q[qno]
+            if stream is not None:
+                m = maps_per_q[qno]
                 rows, visual = ani.compute_cgi_arrays(
                     m["ref_seq_id"], m["query_seq_id"], m["ref_start_pos"],
                     m["ident"], genome_of_seq, params.frag_len, qno,
-                    qf.total_fragments, want_visual=params.visualize)
+                    stream.total_fragments(qno),
+                    want_visual=params.visualize)
+                q_vis = stream.vis_offsets(qno)
             else:
                 qf = load_query_fragments(qpath, params)
                 mappings = map_query(qf, index, params, backend=backend,
@@ -458,9 +481,10 @@ def run(params: Parameters, backend: str = "numpy",
                 rows, visual = ani.compute_cgi(mappings, genome_of_seq,
                                                params.frag_len, qno,
                                                qf.total_fragments)
+                q_vis = qf.vis_offsets
             final.extend(rows)
             if params.visualize and out_path:
-                output.write_visual(visual, params, qno, qf.vis_offsets,
+                output.write_visual(visual, params, qno, q_vis,
                                     ref_offsets, out_path, append=True)
     else:
         log(f"ERROR :: SPLIT 0's ratio difference {index.ratio_difference} "
