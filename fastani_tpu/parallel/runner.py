@@ -128,11 +128,12 @@ def run_sharded(params: Parameters, n_r: Optional[int] = None,
                 sidx.occ_hash[r] = 0xFFFFFFFF
                 sidx.n_occ[r] = 0
 
-    # query fragments for all query genomes (replicated; queries are the
-    # small side, as in the reference)
-    qfs = [pipeline.load_query_fragments(q, params)
-           for q in params.query_sequences]
-    F_max = max((len(q.frags) for q in qfs), default=0)
+    # query fragments stream lazily (replicated across processes; queries
+    # are the small side, as in the reference): the counting pass fixes
+    # the padded batch geometry, then genomes load per-iteration and evict
+    stream = pipeline.FragmentStream(list(params.query_sequences), params)
+    n_queries = len(stream.queries)
+    F_max = max((stream.meta[i][0] for i in range(n_queries)), default=0)
     F_local = max(-(-F_max // n_q), 1)
     rows_cap = max(128, -(-(n_q * F_local * max(sidx.max_local_genomes, 1))
                           // 128) * 128)
@@ -163,12 +164,14 @@ def run_sharded(params: Parameters, n_r: Optional[int] = None,
                                         sidx.max_local_genomes, rows_cap)
 
     final: List[ani.CGIResult] = []
-    visual_by_q: List[list] = [[] for _ in qfs]
+    visual_by_q: List[list] = [[] for _ in range(n_queries)]
     t0 = time.time()
-    for qno, qf in enumerate(qfs):
+    for qno in range(n_queries):
+        qf = stream.get_query(qno)
         F_total = len(qf.frags)
         padded = np.zeros((n_q * F_local, params.frag_len), np.uint8)
         padded[:F_total] = qf.frags
+        stream.evict_up_to(qno + 1)
         stacked = jnp.asarray(padded.reshape(n_q, F_local, params.frag_len))
         while True:
             outs = step(stacked, idx_arrays, min_hits, gate, ident2d)
@@ -206,7 +209,7 @@ def run_sharded(params: Parameters, n_r: Optional[int] = None,
                     qry_genome=qno,
                     ref_genome=gl * n_r + r,
                     count_seq=cnt,
-                    total_query_fragments=qf.total_fragments,
+                    total_query_fragments=stream.total_fragments(qno),
                     identity=np.float32(acc / np.float32(cnt))))
         if params.visualize:
             # merge shards into the single-device 2-way order: (sid, bin)
@@ -236,7 +239,7 @@ def run_sharded(params: Parameters, n_r: Optional[int] = None,
                     query_start=0,
                     identity=allc[3, i:i + 1].view(np.float32)[0])
                     for i in order]
-    log(f"INFO, fastani_tpu, mapped {len(qfs)} queries on the mesh in "
+    log(f"INFO, fastani_tpu, mapped {n_queries} queries on the mesh in "
         f"{time.time()-t0:.2f}s")
 
     if pid == 0 and params.out_file_name:
@@ -257,10 +260,10 @@ def run_sharded(params: Parameters, n_r: Optional[int] = None,
                 [[0], np.cumsum(ref_lens)[:-1]]) if ref_lens \
                 else np.zeros(0, np.int64)
             open(out_path + ".visual", "w").close()
-            for qno, qf in enumerate(qfs):
+            for qno in range(n_queries):
                 output.write_visual(visual_by_q[qno], params, qno,
-                                    qf.vis_offsets, ref_offsets, out_path,
-                                    append=True)
+                                    stream.vis_offsets(qno), ref_offsets,
+                                    out_path, append=True)
         output.write_cgi(final, genome_lengths, params, out_path)
         if params.matrix_output:
             output.write_phylip(final, genome_lengths, params, out_path)
