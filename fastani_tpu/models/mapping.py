@@ -29,7 +29,7 @@ from typing import Optional
 import numpy as np
 
 from fastani_tpu.ops import hashing
-from fastani_tpu.ops.xputils import (batched_searchsorted, cummax, is_jax,
+from fastani_tpu.ops.xputils import (batched_searchsorted, is_jax,
                                      last_event_value, sliding_pairmin,
                                      take_along)
 

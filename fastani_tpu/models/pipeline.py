@@ -12,10 +12,9 @@ reference — we standardize on the -t 1 form).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import sys
 import time
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -379,24 +378,6 @@ def map_queries_cgi_device(queries: List[QueryFragments], index: ReferenceIndex,
         cgi.finalize_query(next_fin)
         next_fin += 1
     return cgi.result()
-
-
-@functools.lru_cache(maxsize=None)
-def _cgi_jit_cached(frag_len: int, n_qg: int, n_rg: int):
-    import jax
-
-    from fastani_tpu.models import device_cgi
-
-    return jax.jit(functools.partial(device_cgi.cgi_matrices,
-                                     frag_len=frag_len,
-                                     n_query_genomes=n_qg,
-                                     n_ref_genomes=n_rg))
-
-
-def _cgi_matrices_jit(qno, qsid, sid, shared, sketch, pos, valid,
-                      genome_of_seq, lut, frag_len, n_qg, n_rg):
-    return _cgi_jit_cached(frag_len, n_qg, n_rg)(
-        qno, qsid, sid, shared, sketch, pos, valid, genome_of_seq, lut)
 
 
 def run(params: Parameters, backend: str = "numpy",

@@ -25,16 +25,14 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import math
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from fastani_tpu.models import jitmap, mapping
-from fastani_tpu.ops import stats
+from fastani_tpu.models import jitmap
 
 
 def make_mesh(n_r: int, n_q: int, devices=None) -> Mesh:
