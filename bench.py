@@ -132,6 +132,19 @@ def run_ours(paths, params, unit_chunk: int, out_prefix=None) -> tuple:
     return t_map, t_index, rows
 
 
+def scaled_caps(n_genomes: int, params) -> None:
+    """Grow the L1 capacity caps with the genome count: in all-vs-all runs
+    every fragment legitimately hits ~every genome, so hits scale with
+    s_avg * G and candidate regions with G.  Both caps stay powers of two
+    (the Pallas sort/compaction width contract); defaults already cover
+    small G."""
+    if n_genomes > 48:
+        params.cand_cap = 128
+    want_hits = int(1.3 * 280 * n_genomes)          # ~s_avg * G * margin
+    while params.hits_cap < min(want_hits, 32768):
+        params.hits_cap *= 2
+
+
 def bench_ours(paths, frag_batch, unit_chunk, repeats, out_prefix=None):
     from fastani_tpu.config import Parameters
 
@@ -140,6 +153,7 @@ def bench_ours(paths, frag_batch, unit_chunk, repeats, out_prefix=None):
         params = Parameters(frag_batch=frag_batch,
                             matrix_output=bool(out_prefix),
                             out_file_name=out_prefix or "").finalize()
+        scaled_caps(len(paths), params)
         t_map, t_index, rows = run_ours(paths, params, unit_chunk,
                                         out_prefix=out_prefix)
         _log(f"repeat {rep + 1}/{repeats}: map {t_map:.1f}s "

@@ -37,7 +37,7 @@ import numpy as np
 from fastani_tpu.ops.pallas_winnow import _shift, pallas_mode
 
 _MAX_LANES = 2048        # per-block lane width target (VMEM budget)
-_MAX_N = 32768           # single-row ceiling: (8, 4096) block, 1 row
+_MAX_N = 65536           # single-row ceiling: (8, 8192) block, 1 row
 
 
 def _compact_block_kernel(n: int, w8: int, fills, f_ref, *refs):
@@ -135,7 +135,7 @@ def _compact_call(n: int, blocks: int, m: int, dtypes, fills,
 def compact_rows(flags, payloads, interpret: bool = None):
     """Stable per-row compaction of `payloads` by `flags`.
 
-    flags: (R, n) bool/int32, n a power of two in [128, 32768].
+    flags: (R, n) bool/int32, n a power of two in [128, 65536].
     payloads: sequence of (array (R, n), fill) pairs; int32/uint32 dtypes.
     Returns the compacted arrays (same shapes): row r holds the flagged
     values of row r in original order at [0, cnt_r), `fill` beyond.

@@ -79,11 +79,15 @@ def _sort_call(n: int, blocks: int, m: int, interpret: bool):
 
 def sort_rows_u32(x, interpret: bool = None):
     """Ascending per-row sort of a (R, n) uint32 array; n a power of two,
-    n in [1024, 8192].  Returns the sorted array (same shape/dtype)."""
+    n in [1024, 32768].  Returns the sorted array (same shape/dtype).
+
+    Rows wider than 8 * _MAX_LANES get one row per block ((8, n/8)
+    layout); the n*log^2(n)/2 compare-exchange network stays VMEM-resident
+    either way."""
     import jax.numpy as jnp
 
     R, n = x.shape
-    assert n & (n - 1) == 0 and 1024 <= n <= 8192, n
+    assert n & (n - 1) == 0 and 1024 <= n <= 32768, n
     if interpret is None:
         use, interpret = pallas_mode()
         assert use, "sort_rows_u32 called without a Pallas backend"
@@ -100,6 +104,6 @@ def sort_rows_u32(x, interpret: bool = None):
 
 def use_pallas_sort(xp_is_jax: bool, n: int) -> bool:
     """True when the Pallas row-sort applies (jax + TPU/interpret + pow2)."""
-    if not xp_is_jax or n & (n - 1) or not (1024 <= n <= 8192):
+    if not xp_is_jax or n & (n - 1) or not (1024 <= n <= 32768):
         return False
     return pallas_mode()[0]

@@ -74,3 +74,25 @@ def test_lut_searchsorted_matches_numpy():
             jnp, jnp.asarray(table), lut, jnp.asarray(q), rounds, side))
         want = np.searchsorted(table, q, side=side).astype(np.int32)
         np.testing.assert_array_equal(got, want)
+
+
+def test_wide_rows_sort_and_compact():
+    """Width ceilings needed by genome-count-scaled caps (hits_cap up to
+    32768, candidate grids up to 65536)."""
+    import jax.numpy as jnp
+
+    from fastani_tpu.ops import pallas_sort
+
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, 2**32, (2, 16384), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(pallas_sort.sort_rows_u32(jnp.asarray(x),
+                                               interpret=True))
+    np.testing.assert_array_equal(got, np.sort(x, axis=1))
+
+    n = 65536
+    flags = rng.random((1, n)) < 0.05
+    v = rng.integers(0, 2**31, (1, n)).astype(np.int32)
+    (got_v,) = pc.compact_rows(np_to_jnp(flags), [(np_to_jnp(v), -1)],
+                               interpret=True)
+    want = _ref_compact(flags, [v], [np.int32(-1)])[0]
+    np.testing.assert_array_equal(np.asarray(got_v), want)
