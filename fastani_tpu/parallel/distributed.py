@@ -150,7 +150,7 @@ def allgather_shard_dims(local_dims: dict) -> dict:
     import numpy as np
     from jax.experimental import multihost_utils
 
-    keys = ("M", "S", "G", "max_contig_len", "n_seqs_total")
+    keys = ("M", "S", "G", "max_contig_len", "n_seqs_total", "B")
     vec = np.asarray([int(local_dims[k]) for k in keys], np.int64)
     allv = multihost_utils.process_allgather(vec)       # (n_proc, k)
     out = {k: int(allv[:, i].max()) for i, k in enumerate(keys)}
@@ -193,7 +193,8 @@ def shard_index_arrays(plan: MultiHostPlan, sharded_index) -> dict:
     row1 = P("r")
     for name in ("occ_hash", "occ_sid", "occ_wpos", "mi_hash", "mi_sid",
                  "mi_wpos", "seq_start", "genome_of_seq", "occ_packed",
-                 "mi_packed", "occ_lut", "mi_lut", "mi_prev", "mi_nxt"):
+                 "mi_packed", "occ_lut", "mi_lut", "mi_prev", "mi_nxt",
+                 "bin_start", "sid_of_bin", "gid_of_bin"):
         a = getattr(sharded_index, name)
         if a is not None:
             out[name] = _place(plan, a, row2)

@@ -105,6 +105,12 @@ class ShardedIndex:
     # emitting .visual rows identical to the single-device run
     global_sid: "Optional[np.ndarray]" = None         # (n_r, S) int32
     owned_rows: "Optional[List[int]]" = None
+    # shard-local reference position-bin layout (2-way dedupe tables):
+    # bin = bin_start[sid_local] + pos // (fragLen-20); sid/gid_of_bin map
+    # bins back to contigs/local genomes (fills: sid=0, gid=G pad group)
+    bin_start: "Optional[np.ndarray]" = None          # (n_r, S+1) int32
+    sid_of_bin: "Optional[np.ndarray]" = None         # (n_r, B_cap) int32
+    gid_of_bin: "Optional[np.ndarray]" = None         # (n_r, B_cap) int32
 
 
 def _prev_next_np(mi_hash, mi_sid):
@@ -128,7 +134,8 @@ def shard_files(ref_files: Sequence[str], n_r: int, r: int) -> List[str]:
     return [f for j, f in enumerate(ref_files) if j % n_r == r]
 
 
-def local_shard_dims(shards: dict, ref_files: Sequence[str], n_r: int) -> dict:
+def local_shard_dims(shards: dict, ref_files: Sequence[str], n_r: int,
+                     frag_len: int = 3000) -> dict:
     """Padding dims derivable from locally built shards (single-process
     case; multi-process merges these via distributed.allgather_shard_dims)."""
     M = max((ix.num_entries for ix in shards.values()), default=1)
@@ -137,6 +144,9 @@ def local_shard_dims(shards: dict, ref_files: Sequence[str], n_r: int) -> dict:
     max_len = max((c.length for ix in shards.values()
                    for c in ix.metadata), default=1)
     n_seqs_total = sum(len(ix.metadata) for ix in shards.values())
+    width = frag_len - 20
+    B = max((sum(c.length // width + 1 for c in ix.metadata)
+             for ix in shards.values()), default=1)
     counts = np.zeros(max(len(ref_files), 1), np.int64)
     # per-file contig counts from sequences_by_file of each owned shard
     for r, ix in shards.items():
@@ -146,7 +156,8 @@ def local_shard_dims(shards: dict, ref_files: Sequence[str], n_r: int) -> dict:
             counts[j] = int(ix.sequences_by_file[li]) - prev
             prev = int(ix.sequences_by_file[li])
     return dict(M=max(M, 1), S=max(S, 1), G=nG, max_contig_len=max_len,
-                n_seqs_total=n_seqs_total, contigs_per_file=counts)
+                n_seqs_total=n_seqs_total, B=max(B, 1),
+                contigs_per_file=counts)
 
 
 def build_shards(params, ref_files: Sequence[str], n_r: int,
@@ -204,11 +215,12 @@ def build_sharded_index(params, ref_files: Sequence[str], n_r: int,
         shards = build_shards(params, ref_files, n_r, rows, device,
                               save_prefix, load_prefix)
     if dims is None:
-        dims = local_shard_dims(shards, ref_files, n_r)
+        dims = local_shard_dims(shards, ref_files, n_r, params.frag_len)
     M, S = int(dims["M"]), int(dims["S"])
     nG = int(dims["G"])
     max_len = int(dims["max_contig_len"])
     n_seqs_total = int(dims["n_seqs_total"])
+    B_cap = max(128, 1 << max(int(dims.get("B", 1)) - 1, 1).bit_length())
 
     # packed-key width: identical law to MapperConfig.from_params so the
     # sharded step runs the same fast path as the single-device mapper
@@ -245,6 +257,9 @@ def build_sharded_index(params, ref_files: Sequence[str], n_r: int,
         n_uniques=np.zeros(n_r, np.int64),
         global_sid=np.zeros((n_r, S), np.int32),
         owned_rows=rows,
+        bin_start=np.zeros((n_r, S + 1), np.int32),
+        sid_of_bin=np.zeros((n_r, B_cap), np.int32),
+        gid_of_bin=np.full((n_r, B_cap), nG, np.int32),
     )
 
     occ_r = mi_r = 0
@@ -282,6 +297,19 @@ def build_sharded_index(params, ref_files: Sequence[str], n_r: int,
         pv, nx = _prev_next_np(ix.mi_hash, ix.mi_seqid)
         out.mi_prev[r, :M_r] = pv
         out.mi_nxt[r, :M_r] = nx
+        # shard-local position-bin layout (computeCoreIdentity.hpp:194)
+        width = params.frag_len - 20
+        lens = np.asarray([c.length for c in ix.metadata], np.int64)
+        nb = lens // width + 1
+        bs = np.zeros(len(lens) + 1, np.int64)
+        bs[1:] = np.cumsum(nb)
+        out.bin_start[r, : len(bs)] = bs
+        out.bin_start[r, len(bs):] = bs[-1] if len(bs) else 0
+        if len(lens):
+            out.sid_of_bin[r, : int(bs[-1])] = np.repeat(
+                np.arange(len(lens), dtype=np.int32), nb)
+            out.gid_of_bin[r, : int(bs[-1])] = np.repeat(
+                ix.genome_of_seq().astype(np.int32), nb)
     out.freq_threshold = int(out.freq_thresholds[rows].min()) if rows \
         else np.iinfo(np.int32).max
     if wpos_bits is not None:
@@ -319,10 +347,15 @@ def make_sharded_rows_step(cfg: jitmap.MapperConfig, mesh: Mesh, s_max: int,
     sort order restricted to one shard's contigs equals the single-shard
     order — the thread-invariance law of fastani_tests.cpp:199-255).
 
-    Index arrays arrive as ONE dict (see _IDX_SPECS) so the packed-key /
-    probe-LUT / occurrence-link fast path of the single-device mapper runs
-    unchanged per shard; the per-shard histogram threshold is a traced
-    scalar (winSketch.hpp:199-248 computes it per split).
+    SORT-FREE dedupes: the 1-way overwrite law (best (identity, refSeq,
+    pos) per (refGenome, fragment), computeCoreIdentity.hpp:212-232) runs
+    as three scatter-max passes over a (G x F_global) key space, and the
+    2-way law (best (identity, querySeq) per (refContig, refPosBin),
+    :237-255) as scatter-max passes into a per-shard position-bin table
+    merged across the q axis with lax.pmax — the bin table read out in
+    index order IS the 2-way sort order, so survivors come out canonically
+    ordered from a butterfly compaction with no lexsort and no row
+    all_gather.
 
     Returns (gid, ibits, sid, pos, qsid) each (n_r, rows_cap) i32 — local
     genome (big=pad), identity float bits, local ref seq id, mean ref
@@ -330,21 +363,105 @@ def make_sharded_rows_step(cfg: jitmap.MapperConfig, mesh: Mesh, s_max: int,
     count (> rows_cap = overflow).  sid/pos/qsid feed the .visual writer
     (outputVisualizationFile, computeCoreIdentity.hpp:103-153).
     """
+    G = max_local_genomes
+    n_q = int(mesh.devices.shape[1])
+    big = jnp.int32(2**30)
+
     def local_step(frags, ia, min_hits, gate, ident2d):
-        keep2, cols = _map_and_dedupe(cfg, s_max, frag_len, frags, ia,
-                                      min_hits, gate, ident2d)
-        n = keep2.sum().astype(jnp.int32)
-        o3 = jnp.argsort(jnp.where(keep2, 0, 1).astype(jnp.int32),
-                         stable=True)[:rows_cap]
-        big = jnp.int32(2**30)
-        packed = [jnp.where(keep2[o3], c[o3], fill)[None, :]
-                  for c, fill in cols]
-        return tuple(packed) + (n[None],)
+        frags2 = frags.reshape(frags.shape[-2:])
+        F_local = frags2.shape[0]
+        Fg = F_local * n_q
+        sq = lambda a: a.reshape(a.shape[1:])
+        packed = cfg.wpos_bits is not None
+        out = jitmap.map_step(
+            cfg, frags2, sq(ia["occ_hash"]), sq(ia["occ_sid"]),
+            sq(ia["occ_wpos"]), sq(ia["mi_hash"]), sq(ia["mi_sid"]),
+            sq(ia["mi_wpos"]), sq(ia["seq_start"]), min_hits, gate,
+            n_occ=sq(ia["n_occ"]),
+            occ_packed=sq(ia["occ_packed"]) if packed else None,
+            mi_packed=sq(ia["mi_packed"]) if packed else None,
+            mi_prev=sq(ia["mi_prev"]), mi_nxt=sq(ia["mi_nxt"]),
+            occ_lut=sq(ia["occ_lut"]) if packed else None,
+            mi_lut=sq(ia["mi_lut"]) if packed else None,
+            freq_threshold=sq(ia["freq_threshold"]))
+        gos1 = sq(ia["genome_of_seq"])
+        qidx = jax.lax.axis_index("q")
+        frag_g = out["frag"] + qidx * F_local
+        sid = out["sid"]
+        pos = out["mean_pos"]
+        gid = gos1[jnp.clip(sid, 0, gos1.shape[0] - 1)]
+        ident = ident2d[jnp.clip(out["sketch"], 0, s_max),
+                        jnp.clip(out["shared"], 0, s_max)]
+        ibits = ident.view(jnp.int32)  # positive floats sort as ints
+        valid = out["valid"]
+
+        # ---- 1-way: best (ibits, sid, pos) per (gid, frag) — three
+        # scatter-max passes resolve the lexicographic key exactly
+        idx1 = jnp.where(valid, gid * Fg + frag_g, G * Fg)
+        T1 = G * Fg + 1
+        t_i = jnp.full(T1, -1, jnp.int32).at[idx1].max(
+            jnp.where(valid, ibits, -1))
+        w1 = valid & (ibits == t_i[idx1])
+        t_s = jnp.full(T1, -1, jnp.int32).at[idx1].max(
+            jnp.where(w1, sid, -1))
+        w2 = w1 & (sid == t_s[idx1])
+        t_p = jnp.full(T1, -1, jnp.int32).at[idx1].max(
+            jnp.where(w2, pos, -1))
+        keep1 = w2 & (pos == t_p[idx1])
+
+        # ---- 2-way: per-shard position-bin running-best tables, merged
+        # across q with pmax (replaces all_gather + lexsort)
+        bs = sq(ia["bin_start"])
+        B_cap = sq(ia["sid_of_bin"]).shape[0]
+        bin_id = bs[jnp.clip(sid, 0, bs.shape[0] - 2)] \
+            + pos // (frag_len - 20)
+        bin_c = jnp.clip(bin_id, 0, B_cap - 1)
+        idx2 = jnp.where(keep1, bin_c, B_cap)
+        tb_i = jnp.full(B_cap + 1, -1, jnp.int32).at[idx2].max(
+            jnp.where(keep1, ibits, -1))[:B_cap]
+        tb_i = jax.lax.pmax(tb_i, "q")
+        w3 = keep1 & (ibits == tb_i[bin_c])
+        tb_q = jnp.full(B_cap + 1, -1, jnp.int32).at[idx2].max(
+            jnp.where(w3, frag_g, -1))[:B_cap]
+        tb_q = jax.lax.pmax(tb_q, "q")
+        w4 = w3 & (frag_g == tb_q[bin_c])
+        tb_p = jnp.full(B_cap + 1, -1, jnp.int32).at[idx2].max(
+            jnp.where(w4, pos, -1))[:B_cap]
+        tb_p = jax.lax.pmax(tb_p, "q")
+
+        # ---- survivors in bin (== 2-way sort) order
+        occupied = tb_i >= 0
+        n = occupied.sum().astype(jnp.int32)
+        biota = jnp.arange(B_cap, dtype=jnp.int32)
+        from fastani_tpu.ops import pallas_compact
+
+        if pallas_compact.use_pallas_compact(True, B_cap):
+            ib_c, q_c, p_c, bin_o = (a[0, :rows_cap]
+                                     for a in pallas_compact.compact_rows(
+                occupied.reshape(1, -1),
+                [(tb_i.reshape(1, -1), 0), (tb_q.reshape(1, -1), big),
+                 (tb_p.reshape(1, -1), 0), (biota.reshape(1, -1), 0)]))
+        else:
+            order = jnp.argsort(jnp.where(occupied, 0, 1).astype(jnp.int32),
+                                stable=True)[:rows_cap]
+            bin_o = order
+            ib_c = jnp.where(occupied[order], tb_i[order], 0)
+            q_c = jnp.where(occupied[order], tb_q[order], big)
+            p_c = jnp.where(occupied[order], tb_p[order], 0)
+        live = jnp.arange(rows_cap, dtype=jnp.int32) < n
+        sid_c = jnp.where(live, sq(ia["sid_of_bin"])[bin_o], big)
+        gid_c = jnp.where(live, sq(ia["gid_of_bin"])[bin_o], big)
+        ib_c = jnp.where(live, ib_c, 0)
+        p_c = jnp.where(live, p_c, 0)
+        q_c = jnp.where(live, q_c, big)
+        return (gid_c[None, :], ib_c[None, :], sid_c[None, :],
+                p_c[None, :], q_c[None, :], n[None])
 
     idx_specs = {name: P("r", None) for name in (
         "occ_hash", "occ_sid", "occ_wpos", "mi_hash", "mi_sid", "mi_wpos",
         "occ_packed", "mi_packed", "occ_lut", "mi_lut", "mi_prev", "mi_nxt",
-        "seq_start", "genome_of_seq")}
+        "seq_start", "genome_of_seq", "bin_start", "sid_of_bin",
+        "gid_of_bin")}
     idx_specs["n_occ"] = P("r")
     idx_specs["freq_threshold"] = P("r")
     fn = jax.shard_map(
@@ -354,71 +471,6 @@ def make_sharded_rows_step(cfg: jitmap.MapperConfig, mesh: Mesh, s_max: int,
         check_vma=False,
     )
     return jax.jit(fn)
-
-
-def _map_and_dedupe(cfg, s_max, frag_len, frags, ia, min_hits, gate,
-                    ident2d):
-    """Shared shard-local body: map fragments, 1-way dedupe locally, gather
-    1-way survivors across q, 2-way dedupe on the gathered set.  Returns
-    (keep2, [(col, fill), ...]) over the q-gathered, 2-way-sorted rows
-    (identical on every q device): gid, ibits, sid, pos, qsid."""
-    frags = frags.reshape(frags.shape[-2:])
-    sq = lambda a: a.reshape(a.shape[1:])
-    packed = cfg.wpos_bits is not None
-    out = jitmap.map_step(
-        cfg, frags, sq(ia["occ_hash"]), sq(ia["occ_sid"]),
-        sq(ia["occ_wpos"]), sq(ia["mi_hash"]), sq(ia["mi_sid"]),
-        sq(ia["mi_wpos"]), sq(ia["seq_start"]), min_hits, gate,
-        n_occ=sq(ia["n_occ"]),
-        occ_packed=sq(ia["occ_packed"]) if packed else None,
-        mi_packed=sq(ia["mi_packed"]) if packed else None,
-        mi_prev=sq(ia["mi_prev"]), mi_nxt=sq(ia["mi_nxt"]),
-        occ_lut=sq(ia["occ_lut"]) if packed else None,
-        mi_lut=sq(ia["mi_lut"]) if packed else None,
-        freq_threshold=sq(ia["freq_threshold"]))
-    gos1 = sq(ia["genome_of_seq"])
-    frag_ids = out["frag"]
-    qidx = jax.lax.axis_index("q")
-    frag_g = frag_ids + qidx * frags.shape[0]
-    sid = out["sid"]
-    gid = gos1[jnp.clip(sid, 0, gos1.shape[0] - 1)]
-    ident = ident2d[jnp.clip(out["sketch"], 0, s_max),
-                    jnp.clip(out["shared"], 0, s_max)]
-    ibits = ident.view(jnp.int32)  # positive floats sort as ints
-    valid = out["valid"]
-
-    # ---- 1-way: keep best per (gid, frag): sort asc by
-    # (gid, frag, ident, sid, pos), keep last of each group
-    big = jnp.int32(2**30)
-    key_g = jnp.where(valid, gid, big)
-    key_f = jnp.where(valid, frag_g, big)
-    o1 = jnp.lexsort((out["mean_pos"], sid, ibits, key_f, key_g))
-    g1, f1 = key_g[o1], key_f[o1]
-    last1 = jnp.concatenate([(g1[:-1] != g1[1:]) | (f1[:-1] != f1[1:]),
-                             jnp.ones((1,), bool)])
-    keep1 = last1 & (g1 < big)
-
-    # ---- 2-way needs all 1-way survivors across the q axis
-    sid1 = sid[o1]
-    pos1 = out["mean_pos"][o1]
-    ib1 = ibits[o1]
-    gid1 = jnp.where(keep1, g1, big)
-    bin1 = jnp.where(keep1, pos1 // (frag_len - 20), big)
-    sid1m = jnp.where(keep1, sid1, big)
-    f1m = jnp.where(keep1, f1, big)
-    pos1m = jnp.where(keep1, pos1, 0)
-    allg = lambda x: jax.lax.all_gather(x, "q", tiled=True)
-    sid_a, bin_a, ib_a, gid_a, f_a, pos_a = map(
-        allg, (sid1m, bin1, ib1, gid1, f1m, pos1m))
-    o2 = jnp.lexsort((f_a, ib_a, bin_a, sid_a))
-    s2, b2 = sid_a[o2], bin_a[o2]
-    last2 = jnp.concatenate([(s2[:-1] != s2[1:]) | (b2[:-1] != b2[1:]),
-                             jnp.ones((1,), bool)])
-    keep2 = last2 & (s2 < big)
-    big_i = jnp.int32(2**30)
-    return keep2, [(gid_a[o2], big_i), (ib_a[o2], jnp.int32(0)),
-                   (s2, big_i), (pos_a[o2], jnp.int32(0)),
-                   (f_a[o2], big_i)]
 
 
 def make_sharded_step(cfg: jitmap.MapperConfig, mesh: Mesh, s_max: int, k: int,

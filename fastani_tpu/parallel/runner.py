@@ -90,7 +90,8 @@ def run_sharded(params: Parameters, n_r: Optional[int] = None,
     shards = pmesh.build_shards(
         params, params.ref_sequences, n_r, rows=rows, device=device_build,
         save_prefix=params.save_index, load_prefix=params.load_index)
-    dims = pmesh.local_shard_dims(shards, params.ref_sequences, n_r)
+    dims = pmesh.local_shard_dims(shards, params.ref_sequences, n_r,
+                                  params.frag_len)
     if multi:
         # agree on global padding widths so every process places
         # identically shaped buffers (this process never sees the other
