@@ -152,25 +152,45 @@ def sketch_fragments(xp, frags_u8, k: int, w: int, scap: int):
     lens = xp.full((F,), L, xp.int32)
     emit, h, _ = winnow_batched(xp, frags_u8, k, w, lens)
     n = h.shape[-1]
+    n_emit = emit.sum(axis=-1).astype(xp.int32)
     # single-key sort: un-emitted rows pushed to UMAX (an emitted minimizer
     # hash of exactly UMAX needs both strands ~2^-64 — ignored)
     keys0 = xp.where(emit, h, xp.asarray(_UMAX))
     psort = False
     if is_jax(xp):
-        from fastani_tpu.ops import pallas_sort
+        from fastani_tpu.ops import pallas_compact, pallas_sort
 
         n_pad = max(1024, 1 << (n - 1).bit_length())
         psort = pallas_sort.use_pallas_sort(True, n_pad)
     if psort:
-        # keep the sorted keys at the padded pow-2 width: the dedupe
-        # compaction below runs at the same width in VMEM
-        pad = xp.full((F, n_pad - n), _UMAX, xp.uint32)
-        hk = pallas_sort.sort_rows_u32(xp.concatenate([keys0, pad], axis=-1))
-        nw = n_pad
+        # emitted minimizers are sparse (density ~2/(w+1), ~8% of
+        # positions): butterfly-compact them first, then sort only a
+        # narrow row — ~8x fewer element-stages than sorting full width.
+        # The narrow cap bounds the EMIT count; overflow joins the
+        # sketch-cap overflow path (exact host fallback).
+        n_cap = 1024
+        while n_cap < 4 * scap:
+            n_cap *= 2
+        if n_cap < n_pad:
+            padz = xp.zeros((F, n_pad - n), bool)
+            padk = xp.full((F, n_pad - n), _UMAX, xp.uint32)
+            (hc,) = pallas_compact.compact_rows(
+                xp.concatenate([emit, padz], axis=-1),
+                [(xp.concatenate([keys0, padk], axis=-1), _UMAX)])
+            hk = pallas_sort.sort_rows_u32(hc[:, :n_cap])
+            nw = n_cap
+            emit_over = n_emit > n_cap
+        else:
+            pad = xp.full((F, n_pad - n), _UMAX, xp.uint32)
+            hk = pallas_sort.sort_rows_u32(
+                xp.concatenate([keys0, pad], axis=-1))
+            nw = n_pad
+            emit_over = xp.zeros((F,), bool)
     else:
         hk = xp.sort(keys0, axis=-1)
         nw = n
-    n_emit = emit.sum(axis=-1).astype(xp.int32)
+        emit_over = xp.zeros((F,), bool) if is_jax(xp) \
+            else np.zeros((F,), bool)
     j = xp.arange(nw, dtype=xp.int32)
     within = j < n_emit[:, None]
     prev = xp.concatenate([xp.full((F, 1), _UMAX, xp.uint32), hk[..., :-1]], axis=-1)
@@ -194,7 +214,7 @@ def sketch_fragments(xp, frags_u8, k: int, w: int, scap: int):
         qh = take_along(xp, hk, xp.clip(order2, 0, nw - 1), -1)[:, :scap]
     jj = xp.arange(scap, dtype=xp.int32)
     qh = xp.where(jj < xp.minimum(s, scap)[:, None], qh, xp.asarray(_UMAX))
-    overflow = s > scap
+    overflow = (s > scap) | emit_over
     return qh, s, overflow
 
 

@@ -154,10 +154,13 @@ def main():
     import jax as _j
     _j.block_until_ready(cgi._tab)
     print(f"CGI update/batch: {(time.time()-t0)/5*1e3:7.1f} ms", flush=True)
-    t0 = time.time()
-    cgi.finalize_query(0)
+    cgi.finalize_query(0)               # compile
     _j.block_until_ready(cgi._tab)
-    print(f"CGI finalize/query: {(time.time()-t0)*1e3:7.1f} ms", flush=True)
+    t0 = time.time()
+    for q in range(1, 6):
+        cgi.finalize_query(q % G)
+    _j.block_until_ready(cgi._tab)
+    print(f"CGI finalize/query: {(time.time()-t0)/5*1e3:7.1f} ms", flush=True)
 
     # ---- end-to-end --------------------------------------------------------
     if not args.skip_e2e:
