@@ -75,43 +75,68 @@ def _log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def run_ours(paths, params, unit_chunk: int, out_prefix=None) -> tuple:
-    """TPU path: resident index, streaming jitted fragment batches, and
-    the bounded-memory streaming device CGI — only (G, G) tallies cross
-    the link."""
+def scaled_caps(n_genomes: int, params) -> None:
+    """Grow the L1 capacity caps with the genome count: in all-vs-all runs
+    every fragment legitimately hits ~every genome, so hits scale with
+    s_avg * G and candidate regions with G.  Both caps stay powers of two
+    (the Pallas sort/compaction width contract); defaults already cover
+    small G."""
+    if n_genomes > 48:
+        params.cand_cap = 128
+    want_hits = int(1.3 * 280 * n_genomes)          # ~s_avg * G * margin
+    while params.hits_cap < min(want_hits, 32768):
+        params.hits_cap *= 2
+
+
+def bench_ours(paths, frag_batch, unit_chunk, repeats, out_prefix=None):
+    """Steady-state measurement: index + mapper built ONCE, one untimed
+    warm pass (compiles every jit signature on the real path, including
+    the streaming-CGI update/finalize), then `repeats` timed passes of
+    the full mapping+CGI phase.  The index clock is a steady-state
+    rebuild (programs warm), matching a production sketch-once flow."""
+    from fastani_tpu.config import Parameters
     from fastani_tpu.index.sketch import ReferenceIndex
     from fastani_tpu.models import ani, jitmap, output, pipeline
 
+    params = Parameters(frag_batch=frag_batch,
+                        matrix_output=bool(out_prefix),
+                        out_file_name=out_prefix or "").finalize()
+    scaled_caps(len(paths), params)
     params.ref_sequences = list(paths)
     params.query_sequences = list(paths)
-    t_index0 = time.time()
+    G = len(paths)
+
+    t0 = time.time()
     index = ReferenceIndex.build_device(params)
     _log(f"index built (device-resident): {index.num_entries} entries "
-         f"({time.time()-t_index0:.1f}s)")
-    # in all-vs-all every fragment can hit every genome: size the unit list
-    # to the genome count so nothing truncates to the host fallback
-    mapper = jitmap.JitMapper(params, index,
-                              unit_factor=len(paths) + 2,
+         f"({time.time()-t0:.1f}s incl. compile)")
+    t0 = time.time()
+    index = ReferenceIndex.build_device(params)
+    t_index = time.time() - t0
+    _log(f"index rebuilt steady-state in {t_index:.2f}s")
+
+    # unit list sized to the genome count: in all-vs-all every fragment
+    # can hit every genome; undersizing would truncate to the host fallback
+    mapper = jitmap.JitMapper(params, index, unit_factor=G + 2,
                               unit_chunk=unit_chunk)
-    t_index = time.time() - t_index0
-
-    # preload + fragment queries (host IO excluded from the mapping clock)
     queries = [pipeline.load_query_fragments(p, params) for p in paths]
+    n_frags = sum(len(q.frags) for q in queries)
 
-    # warm up compile on the first batch shape
-    warm = np.zeros((params.frag_batch, params.frag_len), np.uint8)
-    warm[: min(len(queries[0].frags), params.frag_batch)] = \
-        queries[0].frags[: params.frag_batch]
-    t0 = time.time()
-    mapper(warm)
-    _log(f"map step compiled+warm ({time.time()-t0:.1f}s)")
+    def one_pass():
+        t0 = time.time()
+        counts, sums = pipeline.map_queries_cgi_device(
+            queries, index, params, mapper, G, G)
+        return time.time() - t0, counts, sums
 
-    t0 = time.time()
-    G = len(paths)
-    counts, sums = pipeline.map_queries_cgi_device(
-        queries, index, params, mapper, G, G)
-    _log(f"mapped {sum(len(q.frags) for q in queries)} fragments from "
-         f"{len(queries)} queries in {time.time()-t0:.1f}s (streaming CGI)")
+    t_warm, counts, sums = one_pass()      # compiles; untimed
+    _log(f"warm pass (compile) {t_warm:.1f}s")
+    t_map = None
+    for rep in range(repeats):
+        dt, counts, sums = one_pass()
+        _log(f"repeat {rep + 1}/{repeats}: map {dt:.2f}s "
+             f"({n_frags} frags, {n_frags/dt:.0f} frags/s)")
+        t_map = dt if t_map is None else min(t_map, dt)
+
     rows = []
     for q in range(G):
         for g in range(G):
@@ -128,39 +153,7 @@ def run_ours(paths, params, unit_chunk: int, out_prefix=None) -> tuple:
         output.write_cgi(rows, glens, params, out_prefix)
         if params.matrix_output:
             output.write_phylip(rows, glens, params, out_prefix)
-    t_map = time.time() - t0
     return t_map, t_index, rows
-
-
-def scaled_caps(n_genomes: int, params) -> None:
-    """Grow the L1 capacity caps with the genome count: in all-vs-all runs
-    every fragment legitimately hits ~every genome, so hits scale with
-    s_avg * G and candidate regions with G.  Both caps stay powers of two
-    (the Pallas sort/compaction width contract); defaults already cover
-    small G."""
-    if n_genomes > 48:
-        params.cand_cap = 128
-    want_hits = int(1.3 * 280 * n_genomes)          # ~s_avg * G * margin
-    while params.hits_cap < min(want_hits, 32768):
-        params.hits_cap *= 2
-
-
-def bench_ours(paths, frag_batch, unit_chunk, repeats, out_prefix=None):
-    from fastani_tpu.config import Parameters
-
-    best = None
-    for rep in range(repeats):
-        params = Parameters(frag_batch=frag_batch,
-                            matrix_output=bool(out_prefix),
-                            out_file_name=out_prefix or "").finalize()
-        scaled_caps(len(paths), params)
-        t_map, t_index, rows = run_ours(paths, params, unit_chunk,
-                                        out_prefix=out_prefix)
-        _log(f"repeat {rep + 1}/{repeats}: map {t_map:.1f}s "
-             f"index {t_index:.1f}s")
-        if best is None or (t_map + t_index) < (best[0] + best[1]):
-            best = (t_map, t_index, rows)
-    return best
 
 
 def main():

@@ -143,7 +143,7 @@ def _assemble_jit(p_rows: int, out_size: int):
                     ).sum().astype(jnp.int64) + (total > 0)
         return (mi_hash, mi_sid, mi_wpos,
                 mi_hash[order], mi_sid[order], mi_wpos[order],
-                total, n_unique)
+                jnp.stack([total, n_unique]))
 
     return jax.jit(f)
 
@@ -167,7 +167,7 @@ def winnow_contig_device(seq_np: np.ndarray, k: int, w: int,
     fn = _chunk_jit(k, w, chunk)
     carry_sel, carry_has = np.int32(-2), np.bool_(False)
     pieces = []
-    overflow = None
+    overflows = []   # device scalars; reduced jitted by the caller
     for base in range(0, L, chunk):
         buf = np.zeros(width, np.uint8)
         lo = base - halo
@@ -178,8 +178,8 @@ def winnow_contig_device(seq_np: np.ndarray, k: int, w: int,
             jnp.asarray(buf), np.int32(base), carry_sel, carry_has,
             np.int32(L))
         pieces.append((hr, wr, cnt))
-        overflow = over if overflow is None else (overflow | over)
-    return pieces, overflow
+        overflows.append(over)
+    return pieces, overflows
 
 
 def _pow2(x: int, floor: int = 128) -> int:
@@ -328,13 +328,12 @@ def build_device(cls, params: Parameters,
             n_seg = -(-L // seg_p)
             if n_seg > _PW_MAXROWS:     # >~17.8 Mbp contig: XLA chunk path
                 flush_pallas()
-                ps, over = winnow_contig_device(squ, k, w)
+                ps, overs = winnow_contig_device(squ, k, w)
                 for hr, wr, cnt in ps:
                     pieces.append((hr, wr, cnt))
                     piece_sid_rows.append(
                         np.full(int(hr.shape[0]), sid0, np.int32))
-                if over is not None:
-                    overflow_dev.append(over)
+                overflow_dev.extend(overs)
                 return
             if pend_rows and len(pend_rows) + n_seg > max(_PW_FLUSH,
                                                           n_seg):
@@ -366,13 +365,12 @@ def build_device(cls, params: Parameters,
                         flush()
                 else:
                     flush()  # preserve (seqId, wpos) piece order
-                    ps, over = winnow_contig_device(seq, k, w)
+                    ps, overs = winnow_contig_device(seq, k, w)
                     for hr, wr, cnt in ps:
                         pieces.append((hr, wr, cnt))
                         piece_sid_rows.append(
                             np.full(int(hr.shape[0]), seq_counter, np.int32))
-                    if over is not None:
-                        overflow_dev.append(over)
+                    overflow_dev.extend(overs)
             seq_counter += 1
         seq_by_file.append(seq_counter)
     if use_pallas:
@@ -382,39 +380,42 @@ def build_device(cls, params: Parameters,
 
     # ONE overflow check for the whole build; a per-row cap overflow means
     # degenerate repeat input — rebuild exactly on the host (rare, and the
-    # repeat sanity check would reject such references anyway)
+    # repeat sanity check would reject such references anyway).  All
+    # reductions/concats below run jitted (utils/jitops): eager dispatches
+    # destabilize the tunneled client.
     import jax.numpy as jnp
-    if overflow_dev and bool(jnp.stack(overflow_dev).any()):
+
+    from fastani_tpu.utils import jitops
+
+    if jitops.any_of(overflow_dev):
         return cls.build(params, ref_files)
 
     if pieces:
-        h_stack = jnp.concatenate([p[0] for p in pieces])          # (P*, CAP_R)
-        wp_stack = jnp.concatenate([p[1] for p in pieces])
-        cnt_stack = jnp.concatenate([p[2] for p in pieces])
+        h_stack = jitops.concat([p[0] for p in pieces])            # (P*, CAP_R)
+        wp_stack = jitops.concat([p[1] for p in pieces])
+        cnt_stack = jitops.concat([p[2] for p in pieces])
         sid_np = np.concatenate(piece_sid_rows)
     else:
-        h_stack = jnp.full((1, _CAP_R), _UMAX, jnp.uint32)
-        wp_stack = jnp.full((1, _CAP_R), _PINF, jnp.int32)
-        cnt_stack = jnp.zeros((1,), jnp.int32)
+        h_stack = jnp.asarray(np.full((1, _CAP_R), _UMAX, np.uint32))
+        wp_stack = jnp.asarray(np.full((1, _CAP_R), _PINF, np.int32))
+        cnt_stack = jnp.asarray(np.zeros((1,), np.int32))
         sid_np = np.zeros(1, np.int32)
 
     # pad piece-row count to pow2 so the assembly program is reusable
     P = int(h_stack.shape[0])
     Pp = _pow2(P, floor=8)
     if Pp > P:
-        h_stack = jnp.concatenate(
-            [h_stack, jnp.full((Pp - P, _CAP_R), _UMAX, jnp.uint32)])
-        wp_stack = jnp.concatenate(
-            [wp_stack, jnp.full((Pp - P, _CAP_R), _PINF, jnp.int32)])
-        cnt_stack = jnp.concatenate([cnt_stack, jnp.zeros(Pp - P, jnp.int32)])
+        h_stack = jitops.pad_tail(h_stack, Pp, int(_UMAX))
+        wp_stack = jitops.pad_tail(wp_stack, Pp, int(_PINF))
+        cnt_stack = jitops.pad_tail(cnt_stack, Pp, 0)
         sid_np = np.concatenate([sid_np, np.zeros(Pp - P, np.int32)])
 
     out_size = _pow2(Pp * _CAP_R)
     (mi_hash, mi_sid, mi_wpos, occ_hash, occ_sid, occ_wpos,
-     total, n_unique) = _assemble_jit(Pp, out_size)(
+     counts2) = _assemble_jit(Pp, out_size)(
         h_stack, wp_stack, cnt_stack, jnp.asarray(sid_np))
 
-    res = np.asarray(jnp.stack([total, n_unique]))   # ONE small D2H
+    res = np.asarray(counts2)                        # ONE small D2H
     M, n_uniq = int(res[0]), int(res[1])
 
     # per-contig entry spans (host; one small row-count transfer)

@@ -147,8 +147,10 @@ def _update_jit(frag_len: int, n_slots: int, n_rg: int, frag_cap: int,
     import jax
     import jax.numpy as jnp
 
-    def f(tab, qno, qsid, sid, shared, sketch, pos, n_valid, excl_frag,
-          frag, genome_of_seq, bin_start, ident_lut):
+    def f(tab, packed, n_valid, excl_frag, genome_of_seq, bin_start,
+          ident_lut):
+        frag, qno, qsid, sid, shared, sketch, pos = (packed[i]
+                                                     for i in range(7))
         U = sid.shape[0]
         valid = (jnp.arange(U, dtype=jnp.int32) < n_valid) \
             & ~excl_frag[jnp.clip(frag, 0, excl_frag.shape[0] - 1)]
@@ -245,9 +247,14 @@ class StreamingCGI:
         self._gos = jnp.asarray(index.genome_of_seq())
         s_max = max(params.sketch_cap, 1)
         self._lut = jnp.asarray(identity_lut_full(params.kmer_size, s_max))
-        self._tab = jnp.full((self.n_slots, self.B_tot), -1, jnp.int32)
-        self._counts = jnp.zeros((self.n_qg, self.n_rg), jnp.int32)
-        self._sums = jnp.zeros((self.n_qg, self.n_rg), jnp.float32)
+        # host-built + transferred (NOT eager jnp.full: eager dispatches
+        # destabilize the tunneled client — utils/jitops docstring)
+        self._tab = jnp.asarray(
+            np.full((self.n_slots, self.B_tot), -1, np.int32))
+        self._counts = jnp.asarray(
+            np.zeros((self.n_qg, self.n_rg), np.int32))
+        self._sums = jnp.asarray(
+            np.zeros((self.n_qg, self.n_rg), np.float32))
 
     def update(self, packed, n_valid, excl_frag) -> None:
         """Fold one batch's packed (7, U) device block.  ``n_valid`` may be
@@ -257,11 +264,9 @@ class StreamingCGI:
 
         fn = _update_jit(self.frag_len, self.n_slots, self.n_rg,
                          self.frag_cap, self.donate)
-        frag, qno, qsid, sid, shared, sketch, pos = (packed[i]
-                                                     for i in range(7))
-        self._tab = fn(self._tab, qno, qsid, sid, shared, sketch, pos,
-                       jnp.asarray(n_valid, jnp.int32),
-                       jnp.asarray(excl_frag, bool), frag, self._gos,
+        self._tab = fn(self._tab, packed,
+                       jnp.asarray(np.int32(n_valid)),
+                       jnp.asarray(np.asarray(excl_frag, bool)), self._gos,
                        self._bin_start, self._lut)
 
     def inject(self, rows: np.ndarray) -> None:

@@ -66,6 +66,9 @@ class MapperConfig:
     # bucket-LUT searchsorted descent rounds (0 = use method="sort")
     occ_rounds: int = 0
     mi_rounds: int = 0
+    # distinct min-hits LUT values (static): enables the shift-select
+    # partner lookup in L1 instead of a per-row gather
+    m_values: "tuple | None" = None
 
     @classmethod
     def from_params(cls, params, freq_threshold: int, unit_factor: int = 4,
@@ -118,7 +121,8 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
                                min_hits_lut, ft, l,
                                cfg.hits_cap, cfg.cand_cap, n_occ=n_occ,
                                wpos_bits=cfg.wpos_bits, occ_packed=occ_packed,
-                               occ_lut=occ_lut, occ_rounds=cfg.occ_rounds)
+                               occ_lut=occ_lut, occ_rounds=cfg.occ_rounds,
+                               m_values=cfg.m_values)
 
     # flatten + compact the candidate grid to U_cap units on device
     u_frag = jnp.repeat(jnp.arange(F, dtype=jnp.int32), cfg.cand_cap)
@@ -330,8 +334,14 @@ class JitMapper:
                                             index=index)
         k = params.kmer_size
         s_max = max(params.sketch_cap, 1)
-        self._min_hits = jnp.asarray(stats.min_hits_lut(k, params.percentage_identity, s_max))
+        mh_np = stats.min_hits_lut(k, params.percentage_identity, s_max)
+        self._min_hits = jnp.asarray(mh_np)
         self._gate = jnp.asarray(gate_lut_np(k, params.percentage_identity, s_max))
+        # distinct min-hits values (static, tiny set: {1,2,3,4} at
+        # reference defaults) power the shift-select L1 partner lookup
+        self.cfg = dataclasses.replace(
+            self.cfg, m_values=tuple(sorted({int(max(v, 1))
+                                             for v in np.asarray(mh_np)})))
 
         # pow-2 bucket the index arrays so one compiled executable serves
         # any index size (shape changes would otherwise force a ~3 min
@@ -345,15 +355,16 @@ class JitMapper:
                  len(index.occ_hash))
         _PINF = np.int32(2**30)
 
+        from fastani_tpu.utils import jitops
+
         def pad(a, fill, dtype):
             if isinstance(a, np.ndarray):
                 out = np.full(Mp, fill, dtype)
                 out[:len(a)] = a
                 return jnp.asarray(out)
-            # device-resident: pad in HBM, no host round-trip
-            n = a.shape[0]
-            return jnp.concatenate(
-                [a, jnp.full((Mp - n,), fill, a.dtype)]) if Mp > n else a
+            # device-resident: pad in HBM via a jitted program (eager ops
+            # destabilize the tunneled client — utils/jitops docstring)
+            return jitops.pad_tail(a, Mp, int(fill))
 
         self._n_occ = jnp.int32(M)
         self._occ_hash = pad(index.occ_hash, 0xFFFFFFFF, np.uint32)
@@ -385,14 +396,16 @@ class JitMapper:
         # reuse the compiled step
         from fastani_tpu.ops import xputils
 
-        self._occ_lut = jnp.minimum(
-            xputils.build_prefix_lut(jnp, self._occ_hash), self._n_occ)
-        occ_rounds = -(-max(xputils.lut_rounds(np.asarray(self._occ_lut)),
+        @jax.jit
+        def _lut_of(table, n):
+            return jnp.minimum(xputils.build_prefix_lut(jnp, table), n)
+
+        self._occ_lut = _lut_of(self._occ_hash, self._n_occ)
+        occ_rounds = -(-max(xputils.lut_rounds(jitops.fetch(self._occ_lut)),
                             4) // 2) * 2
         if self.cfg.wpos_bits is not None:
-            self._mi_lut = jnp.minimum(
-                xputils.build_prefix_lut(jnp, self._mi_packed), self._n_occ)
-            mi_rounds = -(-max(xputils.lut_rounds(np.asarray(self._mi_lut)),
+            self._mi_lut = _lut_of(self._mi_packed, self._n_occ)
+            mi_rounds = -(-max(xputils.lut_rounds(jitops.fetch(self._mi_lut)),
                                4) // 2) * 2
         else:
             self._mi_lut = None
@@ -463,10 +476,14 @@ class JitMapper:
             # fetch a 256-bucketed prefix: a slice shaped by the exact row
             # count would compile ONE XLA slice program PER DISTINCT COUNT
             # (seconds each on the tunneled TPU); bucketing bounds the
-            # variants at U_cap/256 and they all hit the jit cache
+            # variants at U_cap/256 and they all hit the jit cache.  The
+            # slice runs jitted (utils/jitops): an eager slice's fetch can
+            # wedge the tunneled device->host path.
+            from fastani_tpu.utils import jitops
+
             U_cap = out["packed"].shape[1]
             nb = min(U_cap, -(-n // 256) * 256)
-            packed = np.asarray(out["packed"][:, :nb])[:, :n]
+            packed = jitops.take_cols(out["packed"], nb)[:, :n]
         else:
             packed = np.zeros((7, 0), np.int32)
         frag, qno, qsid, sid, shared, sketch, mean_pos = packed

@@ -142,7 +142,7 @@ def build_events(qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
     # per-entry query-rank attributes via compare-broadcast (binary-search
     # gathers lower poorly on TPU; the (U, scap, ncap) compares fuse into
     # the reduction and cost ~1 ms per 128-unit chunk)
-    from fastani_tpu.ops.xputils import take_along
+    from fastani_tpu.ops.xputils import last_event_value, take_along
 
     qh_u = qh[frag_of_unit]                       # (U, scap)
     s_u = s[frag_of_unit].astype(jnp.int32)       # (U,)
@@ -155,26 +155,38 @@ def build_events(qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
     inq = (eq & (jrow3 < s_u[:, None, None])).any(1) & in_contig
     nonq = in_contig & ~inq
 
-    # distinct-membership change flags, PER ENTRY (closed form — avoids
-    # per-event gathers of prev/nxt):
-    #   entry e enters at serialized key (lp_e+1)<<2|0; leaves already
-    #   processed are exactly {i >= 1 : lp_i <= lp_e - C}, so its hash is
-    #   new iff prev[e] < that count;
-    #   entry e leaves at key (lp_e+C)<<2|1; enters already processed are
-    #   {j : lp_j <= lp_e + C - 1}, so its hash departs iff nxt[e] >= that.
-    ic3 = in_contig[:, None, :]
-    lb_at = (ic3 & (jnp.arange(ncap)[None, None, :] >= 1)
-             & (lp[:, None, :] <= (lp - C)[:, :, None])).sum(-1)
-    le_at = (ic3 & (lp[:, None, :] <= (lp + (C - 1))[:, :, None])).sum(-1)
-    eff_en = pv < lb_at.astype(jnp.int32)
-    eff_lv = nx >= le_at.astype(jnp.int32)
-
-    # one packed per-entry record -> ONE event-side gather (needs scap and
-    # therefore ql/jr <= 1023)
-    assert scap <= 1024, "sketch_cap exceeds the packed-record field width"
-    bit = lambda b, sh: b.astype(jnp.int32) << sh
-    rec = (ql | (jr << 10) | bit(inq, 20) | bit(nonq, 21)
-           | bit(eff_en, 22) | bit(eff_lv, 23))
+    # Gather-free event attribution.  The sorted event stream visits each
+    # class in ENTRY ORDER (enter keys (lp_e+1)<<2|0 and leave keys
+    # (lp_i+C)<<2|1 are both monotone in the entry index), so the j-th
+    # enter event is entry j-1 and the j-th leave event departs entry j-1
+    # (the window begin moving to entry j evicts j-1).  Each entry's
+    # attributes therefore ride the event-merge sort as a PAYLOAD — no
+    # post-sort take_along gathers (XLA row gathers run at ~100 M elem/s
+    # on TPU and dominated the round-3 profile at ~7.6 ms per chunk).
+    #
+    # Distinct-membership changes evaluate POST-sort from the cumsums:
+    #   at entry e's enter event, leaves processed so far = lb_t, and
+    #   lb_t == #{i>=1 : lp_i <= lp_e - C} exactly (key order), so the
+    #   hash is new iff prev[e] < lb_t;
+    #   at the leave event evicting e, enters processed = le_t ==
+    #   #{j : lp_j <= lp_e + C - 1}, so the hash departs iff nxt[e] >= le_t.
+    # The payload packs (ql, jr, inq, nonq) + clip(pv)+1 for enters /
+    # clip(nx) for leaves into 32 bits.
+    assert scap <= 1023, "sketch_cap exceeds the packed-record field width"
+    assert ncap <= 1022, "l2_entry_cap exceeds the packed-record field width"
+    bit = lambda b, sh: b.astype(jnp.uint32) << sh
+    rec_base = (ql.astype(jnp.uint32) | (jr.astype(jnp.uint32) << 10)
+                | bit(inq, 20) | bit(nonq, 21))
+    pv_f = jnp.clip(pv, -1, ncap).astype(jnp.uint32) + 1   # [0, ncap+1]
+    nx_f = jnp.clip(nx, 0, ncap).astype(jnp.uint32)        # [0, ncap]
+    rec_en = rec_base | (pv_f << 22)
+    # leave event at lp_i evicts entry i-1: shift the leave payload right
+    # by one so column i carries entry i-1's record (column 0 is masked —
+    # va[:, 0] is _PINF)
+    rec_lv_e = rec_base | (nx_f << 22)
+    rec_lv = jnp.concatenate(
+        [jnp.zeros((rec_lv_e.shape[0], 1), jnp.uint32), rec_lv_e[:, :-1]],
+        axis=-1)
 
     # serialized event merge: key = (value + C) << 2 | code
     offs = jnp.arange(ncap, dtype=jnp.int32)
@@ -186,6 +198,9 @@ def build_events(qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
 
     keys0 = jnp.concatenate(
         [pack(vb, 0), pack(va, 1), pack(sw0[:, None], 2)], axis=-1)
+    pay0 = jnp.concatenate(
+        [rec_en, rec_lv, jnp.zeros((rec_en.shape[0], 1), jnp.uint32)],
+        axis=-1)
     from fastani_tpu.ops import pallas_sort
 
     T0 = keys0.shape[-1]
@@ -193,14 +208,21 @@ def build_events(qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
     if pallas_sort.use_pallas_sort(True, Tp):
         # keys are non-negative int32, so u32 order == int order; the
         # (Tp - T0) UMAX pads sort past every real or clamped key and the
-        # slice drops exactly them
-        padded = jnp.concatenate(
-            [keys0.astype(jnp.uint32),
-             jnp.full((keys0.shape[0], Tp - T0), jnp.uint32(0xFFFFFFFF))],
-            axis=-1)
-        keys = pallas_sort.sort_rows_u32(padded)[:, :T0].astype(jnp.int32)
+        # slice drops exactly them.  Real keys are row-unique (positions
+        # are strictly increasing and the code bit splits classes), so
+        # the unstable bitonic network permutes payloads deterministically;
+        # clamped/pad keys tie, but their payloads are masked by `real`.
+        padk = jnp.full((keys0.shape[0], Tp - T0), jnp.uint32(0xFFFFFFFF))
+        padp = jnp.zeros((keys0.shape[0], Tp - T0), jnp.uint32)
+        keys_u, pay = pallas_sort.sort_rows_u32_kv(
+            jnp.concatenate([keys0.astype(jnp.uint32), padk], axis=-1),
+            jnp.concatenate([pay0, padp], axis=-1))
+        keys = keys_u[:, :T0].astype(jnp.int32)
+        rec_e = pay[:, :T0]
     else:
-        keys = jnp.sort(keys0, axis=-1)
+        order = jnp.argsort(keys0, axis=-1)
+        keys = take_along(jnp, keys0, order, -1)
+        rec_e = take_along(jnp, pay0, order, -1)
     vt = keys >> 2                          # event value + C
     code = keys & 3
     real = vt < _CLAMP
@@ -208,11 +230,10 @@ def build_events(qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
     is_leave = (code == 1) & real
     lb_t = jnp.cumsum(is_leave, axis=-1).astype(jnp.int32)
     le_t = jnp.cumsum(is_enter, axis=-1).astype(jnp.int32)
-    ent = jnp.clip(jnp.where(is_enter, le_t, lb_t) - 1, 0, ncap - 1)
-    rec_e = take_along(jnp, rec, ent, -1)
-    jm_e = rec_e & 0x3FF
-    jr_e = (rec_e >> 10) & 0x3FF
-    eff = jnp.where(is_enter, (rec_e >> 22) & 1, (rec_e >> 23) & 1) != 0
+    jm_e = (rec_e & 0x3FF).astype(jnp.int32)
+    jr_e = ((rec_e >> 10) & 0x3FF).astype(jnp.int32)
+    pvnx = ((rec_e >> 22) & 0x3FF).astype(jnp.int32)
+    eff = jnp.where(is_enter, (pvnx - 1) < lb_t, pvnx >= le_t)
     sign = jnp.where(is_enter, 1, -1).astype(jnp.int32)
     live = is_enter | is_leave
     dn = jnp.where(live & eff & (((rec_e >> 21) & 1) != 0), sign, 0)
@@ -223,7 +244,12 @@ def build_events(qh, s, frag_of_unit, u_sid, u_start, u_end, u_valid,
         [vt[:, :-1] != vt[:, 1:], jnp.ones((U_, 1), bool)], axis=-1)
     scored = (run_end & real & (vt >= (sw0 + C)[:, None])
               & (le_t < eL_loc[:, None]) & u_valid[:, None])
-    poslb = take_along(jnp, lp, jnp.clip(lb_t, 0, ncap - 1), -1)
+    # poslb(t) = lp[lb_t(t)]: the j-th leave is entry j (leave value IS
+    # lp_j), so lp[lb_t] equals the value of the most recent leave event —
+    # a forward last-event propagation seeded with lp[0] (no gather)
+    lv_val = jnp.where(is_leave, vt - C, 0).astype(jnp.int32)
+    prop, _ = last_event_value(jnp, is_leave, lv_val, jnp.int32(0))
+    poslb = jnp.where(lb_t > 0, prop, lp[:, :1])
     n_ev = real.sum(axis=-1).astype(jnp.int32)
 
     ev = dict(dn=dn, dq=dq, jr=jr_e, jm=jm_e,

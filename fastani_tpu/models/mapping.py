@@ -251,7 +251,8 @@ _register_pytree(L1Result)
 def l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos, min_hits_lut,
                   freq_threshold: int, frag_len: int, hits_cap: int, cand_cap: int,
                   n_occ=None, wpos_bits: Optional[int] = None, occ_packed=None,
-                  occ_lut=None, occ_rounds: int = 0):
+                  occ_lut=None, occ_rounds: int = 0,
+                  m_values: Optional[tuple] = None):
     """Batched L1 stage.  qh (F, scap) sorted unique hashes (UMAX padded).
 
     n_occ (traced scalar, optional): true entry count when occ arrays are
@@ -349,14 +350,34 @@ def l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos, min_hits_lut,
     m = min_hits_lut[xp.clip(s, 0, min_hits_lut.shape[0] - 1)]
     m = xp.maximum(m, 1).astype(xp.int32)
 
-    # consecutive-hit window test (computeMap.hpp:322-336)
+    # consecutive-hit window test (computeMap.hpp:322-336): partner index
+    # is i + (m-1) with a PER-ROW scalar m — a uniform row shift, not a
+    # general gather.  With the distinct LUT values known statically
+    # (m_values; {1,2,3,4} at reference defaults) the partner lookup is a
+    # handful of static shifts + selects instead of a (F, hits_cap)
+    # take_along gather (~21 ms/batch each on TPU, the round-3 L1 profile
+    # leader).  Requires the packed-key path (one array carries both
+    # coordinates); invalid slots hold UMAX, so partner validity is just
+    # key2 != UMAX (sorted keys put invalids at the row tail).
     nvalid = hvalid.sum(axis=-1).astype(xp.int32)
     pidx = xp.arange(hits_cap, dtype=xp.int32)
-    partner = pidx[None, :] + m[:, None] - 1
-    p_ok = partner < nvalid[:, None]
-    partner_c = xp.clip(partner, 0, hits_cap - 1)
-    sid2 = take_along(xp, hit_sid, partner_c, -1)
-    wp2 = take_along(xp, hit_wp, partner_c, -1)
+    if m_values is not None and wpos_bits is not None:
+        F_ = key.shape[0]
+        key2 = xp.full(key.shape, _UMAX, key.dtype)
+        for mv in m_values:
+            d = int(mv) - 1
+            shk = key if d == 0 else xp.concatenate(
+                [key[:, d:], xp.full((F_, d), _UMAX, key.dtype)], axis=-1)
+            key2 = xp.where(m[:, None] == mv, shk, key2)
+        p_ok = key2 != _UMAX
+        sid2 = xp.where(p_ok, (key2 >> wpos_bits).astype(xp.int32), _PINF)
+        wp2 = xp.where(p_ok, (key2 & mask).astype(xp.int32), _PINF)
+    else:
+        partner = pidx[None, :] + m[:, None] - 1
+        p_ok = partner < nvalid[:, None]
+        partner_c = xp.clip(partner, 0, hits_cap - 1)
+        sid2 = take_along(xp, hit_sid, partner_c, -1)
+        wp2 = take_along(xp, hit_wp, partner_c, -1)
     cand_valid = hvalid & p_ok & (sid2 == hit_sid) & (wp2 - hit_wp < frag_len)
     cand_start = xp.maximum(0, wp2 - frag_len + 1)
     cand_end = hit_wp

@@ -107,3 +107,98 @@ def use_pallas_sort(xp_is_jax: bool, n: int) -> bool:
     if not xp_is_jax or n & (n - 1) or not (1024 <= n <= 32768):
         return False
     return pallas_mode()[0]
+
+
+# ---------------------------------------------------------------------------
+# Key-value variant: one u32 payload rides the compare-exchange network
+# ---------------------------------------------------------------------------
+
+def _sort_kv_block_kernel(n: int, w8: int, x_ref, p_ref, o_ref, q_ref):
+    """Sort each n-aligned row by key ascending; payload follows the key.
+
+    Keys must be unique per row for a deterministic payload permutation
+    (bitonic networks are unstable under ties) — all in-repo callers pack
+    position/code bits into the key.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    y = x_ref[0]
+    v = p_ref[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, w8), 1)
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, w8), 0)
+    flat = row8 * w8 + col
+    cn = flat & (n - 1)
+    n_flat = 8 * w8
+    zero = jnp.uint32(0)
+
+    k = 2
+    while k <= n:
+        j = k // 2
+        while j >= 1:
+            up = (cn & j) == 0
+            pu = _shift(y, -j, zero, col, flat, n_flat, w8)
+            pd = _shift(y, j, zero, col, flat, n_flat, w8)
+            vu = _shift(v, -j, zero, col, flat, n_flat, w8)
+            vd = _shift(v, j, zero, col, flat, n_flat, w8)
+            p = jnp.where(up, pu, pd)
+            q = jnp.where(up, vu, vd)
+            c = y < p
+            asc = (cn & k) == 0
+            # want ~c when up==asc else c  ==  (up == asc) XOR c
+            # (xor keeps everything i1; a where() on bool operands trips
+            # Mosaic's i8->i1 truncation)
+            take_other = (up == asc) ^ c
+            y = jnp.where(take_other, p, y)
+            v = jnp.where(take_other, q, v)
+            j //= 2
+        k *= 2
+    o_ref[0] = y
+    q_ref[0] = v
+
+
+@functools.lru_cache(maxsize=None)
+def _sort_kv_call(n: int, blocks: int, m: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    w8 = m * n // 8
+    kern = functools.partial(_sort_kv_block_kernel, n, w8)
+    spec = pl.BlockSpec((1, 8, w8), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(blocks,),
+        in_specs=[spec, spec],
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((blocks, 8, w8), jnp.uint32),
+                   jax.ShapeDtypeStruct((blocks, 8, w8), jnp.uint32)),
+        interpret=interpret,
+    )
+
+
+def sort_rows_u32_kv(x, payload, interpret: bool = None):
+    """Ascending per-row key sort of (R, n) uint32 `x`, with a uint32
+    `payload` permuted alongside.  Keys must be row-unique.  Returns
+    (sorted_keys, permuted_payload)."""
+    import jax.numpy as jnp
+
+    R, n = x.shape
+    assert n & (n - 1) == 0 and 1024 <= n <= 32768, n
+    if interpret is None:
+        use, interpret = pallas_mode()
+        assert use, "sort_rows_u32_kv called without a Pallas backend"
+    m = max(1, (4 * _MAX_LANES) // n)        # rows per block (2 arrays)
+    Rp = -(-R // m) * m
+    xin = x.astype(jnp.uint32)
+    pin = payload.astype(jnp.uint32)
+    if Rp > R:
+        xin = jnp.concatenate(
+            [xin, jnp.full((Rp - R, n), jnp.uint32(0xFFFFFFFF))])
+        pin = jnp.concatenate([pin, jnp.zeros((Rp - R, n), jnp.uint32)])
+    ko, po = _sort_kv_call(n, Rp // m, m, interpret)(
+        xin.reshape(Rp // m, 8, m * n // 8),
+        pin.reshape(Rp // m, 8, m * n // 8))
+    return ko.reshape(Rp, n)[:R], po.reshape(Rp, n)[:R]

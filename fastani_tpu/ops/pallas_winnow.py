@@ -397,6 +397,7 @@ def winnow_rows(seq_rows, ctg, base, true_len, k: int, w: int,
     i32); only flat positions in [w-1, w-1+seg) per row are scored
     (the leading halo and trailing tail are never emit=True).
     """
+    import jax
     import jax.numpy as jnp
 
     R, width = seq_rows.shape
@@ -405,8 +406,18 @@ def winnow_rows(seq_rows, ctg, base, true_len, k: int, w: int,
     seq3 = seq_rows.reshape(R, 8, w8).astype(jnp.int32)
     if seg is None:
         seg = width - (w - 1) - (k - 1)
+    # CRITICAL (axon/tunnel): the scalar operands land in SMEM.  If XLA
+    # constant-folds them (callers often build them with arange/zeros
+    # inside the enclosing jit), the Mosaic call executes with
+    # constant SMEM buffers — which knocks the PJRT client out of async
+    # dispatch PERMANENTLY for the whole process: every subsequent
+    # dispatch of ANY program then pays the ~25 ms tunnel round trip
+    # (measured 0.1 ms -> 25 ms for an unrelated matmul).  The
+    # optimization barrier keeps them materialized as computed buffers.
+    ctg, base, true_len = jax.lax.optimization_barrier(
+        (ctg.astype(jnp.int32), base.astype(jnp.int32),
+         true_len.astype(jnp.int32)))
     emit, h, wp = _winnow_call(k, w, seg, w8, R, interpret)(
-        ctg.astype(jnp.int32), base.astype(jnp.int32),
-        true_len.astype(jnp.int32), seq3)
+        ctg, base, true_len, seq3)
     return (emit.reshape(R, width) != 0), h.reshape(R, width), \
         wp.reshape(R, width)

@@ -51,9 +51,9 @@ def test_device_build_chunked_carry(files, tmp_path):
     k, w = 16, 24
     want_h, want_w = minimizer.winnow_model(seq, k, w)
 
-    pieces, overflow = device_build.winnow_contig_device(seq, k, w,
-                                                         chunk=1 << 16)
-    assert not bool(overflow)
+    pieces, overflows = device_build.winnow_contig_device(seq, k, w,
+                                                          chunk=1 << 16)
+    assert not any(bool(o) for o in overflows)
     got_h, got_w = [], []
     for hr, wr, cnt in pieces:
         hr, wr, cnt = np.asarray(hr), np.asarray(wr), np.asarray(cnt)

@@ -30,3 +30,25 @@ def test_stable_flag_partition_idiom():
     lorder = (got & 0xFFFF).astype(np.int64)
     want = np.argsort(np.where(flag, 0, 1), axis=1, kind="stable")
     np.testing.assert_array_equal(lorder, want)
+
+
+def test_sort_rows_u32_kv_interpret():
+    """Key-value bitonic: payload permutes with its key (unique keys)."""
+    import jax.numpy as jnp
+
+    from fastani_tpu.ops import pallas_sort
+
+    rng = np.random.default_rng(11)
+    R, n = 5, 1024
+    # unique keys per row (permutation of arange with random offsets)
+    keys = np.stack([rng.permutation(n).astype(np.uint32) + 7 * r
+                     for r in range(R)])
+    payload = rng.integers(0, 2**32, (R, n), dtype=np.uint32)
+    ks, ps = pallas_sort.sort_rows_u32_kv(jnp.asarray(keys),
+                                          jnp.asarray(payload),
+                                          interpret=True)
+    ks, ps = np.asarray(ks), np.asarray(ps)
+    for r in range(R):
+        order = np.argsort(keys[r], kind="stable")
+        np.testing.assert_array_equal(ks[r], keys[r][order])
+        np.testing.assert_array_equal(ps[r], payload[r][order])
