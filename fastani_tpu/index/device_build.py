@@ -391,9 +391,11 @@ def build_device(cls, params: Parameters,
         return cls.build(params, ref_files)
 
     if pieces:
-        h_stack = jitops.concat([p[0] for p in pieces])            # (P*, CAP_R)
-        wp_stack = jitops.concat([p[1] for p in pieces])
-        cnt_stack = jitops.concat([p[2] for p in pieces])
+        # binomial pairwise merge: bounded compiled-program set vs one
+        # concat program per distinct piece-list shape tuple
+        h_stack = jitops.concat_binomial([p[0] for p in pieces])   # (P*, CAP_R)
+        wp_stack = jitops.concat_binomial([p[1] for p in pieces])
+        cnt_stack = jitops.concat_binomial([p[2] for p in pieces])
         sid_np = np.concatenate(piece_sid_rows)
     else:
         h_stack = jnp.asarray(np.full((1, _CAP_R), _UMAX, np.uint32))

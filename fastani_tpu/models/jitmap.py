@@ -73,6 +73,19 @@ class MapperConfig:
     @classmethod
     def from_params(cls, params, freq_threshold: int, unit_factor: int = 4,
                     unit_chunk: int = 16, index=None) -> "MapperConfig":
+        # the L2 event records pack query ranks and entry links into
+        # 10-bit fields (models/l2walk.py build_events); surface the
+        # limits at setup instead of as mid-trace assertions
+        if params.sketch_cap > 1023:
+            raise ValueError(
+                f"sketch_cap={params.sketch_cap} exceeds the jitted L2 "
+                f"walk's packed-record limit of 1023; lower sketch_cap or "
+                f"use the numpy backend")
+        if params.l2_entry_cap > 1022:
+            raise ValueError(
+                f"l2_entry_cap={params.l2_entry_cap} exceeds the jitted "
+                f"L2 walk's packed-record limit of 1022; lower "
+                f"l2_entry_cap or use the numpy backend")
         wpos_bits = None
         if index is not None and len(index.metadata):
             max_len = max(c.length for c in index.metadata)
@@ -338,10 +351,13 @@ class JitMapper:
         self._min_hits = jnp.asarray(mh_np)
         self._gate = jnp.asarray(gate_lut_np(k, params.percentage_identity, s_max))
         # distinct min-hits values (static, tiny set: {1,2,3,4} at
-        # reference defaults) power the shift-select L1 partner lookup
+        # reference defaults) power the shift-select L1 partner lookup;
+        # past 8 distinct values the emitted shift+select chain would
+        # outgrow the gather it replaces (advisor round 3), so fall back
+        # to the take_along path
+        mv = tuple(sorted({int(max(v, 1)) for v in np.asarray(mh_np)}))
         self.cfg = dataclasses.replace(
-            self.cfg, m_values=tuple(sorted({int(max(v, 1))
-                                             for v in np.asarray(mh_np)})))
+            self.cfg, m_values=mv if len(mv) <= 8 else None)
 
         # pow-2 bucket the index arrays so one compiled executable serves
         # any index size (shape changes would otherwise force a ~3 min
@@ -515,15 +531,27 @@ class JitMapper:
                     sketch=sketch[keep], mean_pos=mean_pos[keep],
                     fallback_frags=fb)
 
-    def collect_device(self, handle: dict):
+    def collect_device(self, handle: dict, stats: dict = None):
         """Like collect(), but leaves the packed rows ON DEVICE for the
         device-CGI path: only the 10-int counts vector (and, rarely, the
         overflow masks) crosses the device->host link.
+
+        ``stats``, when given, accumulates running maxima of the counts
+        diagnostics (max_hits/max_groups/max_s/max_span/n_units) plus
+        batch/fallback tallies — the bench logs these to prove the caps
+        held at scale (no silent overflow stampede).
 
         Returns (packed (7, U_cap) device array, n_valid int,
         fallback_frags (Fb,) int32 host array)."""
         out, F = handle["out"], handle["F"]
         counts = np.asarray(out["counts"])
+        if stats is not None:
+            for i, key in enumerate((
+                    "n_valid", "sk_overflow", "l1_overflow", "l2_overflow",
+                    "unit_overflow", "max_hits", "max_groups", "max_s",
+                    "max_span", "n_units")):
+                stats[key] = max(int(counts[i]), stats.get(key, 0))
+            stats["batches"] = stats.get("batches", 0) + 1
         fallback = set()
         if counts[1]:
             fallback |= set(np.nonzero(
@@ -540,6 +568,8 @@ class JitMapper:
                 np.asarray(out["unit_drop_frag"])[:F])[0].tolist())
         fallback = {f for f in fallback if f < F}
         fb = np.fromiter(sorted(fallback), np.int32, len(fallback))
+        if stats is not None:
+            stats["fallback_frags"] = stats.get("fallback_frags", 0) + len(fb)
         return out["packed"], int(counts[0]), fb
 
     def __call__(self, frags_u8: np.ndarray) -> Dict[str, np.ndarray]:

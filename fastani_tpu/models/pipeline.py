@@ -104,12 +104,14 @@ def map_query(query_frags: QueryFragments, index: ReferenceIndex,
                         conserved=int(out["shared"][i]),
                         sketch_size=int(out["sketch"][i]),
                         query_len=params.frag_len))
-            if len(out["fallback_frags"]):
-                hindex = index.host_view()
-                for fb in out["fallback_frags"]:
-                    mappings.extend(refmodel.map_fragment(
-                        query_frags.frags[b0 + fb], hindex, params,
-                        int(query_frags.frag_ids[b0 + fb])))
+            fbs = out["fallback_frags"]
+            if len(fbs):
+                # batched exact fallback (data-sized caps), not the
+                # per-fragment scalar oracle
+                bm = glue.map_fallback_batch(query_frags.frags[b0 + fbs],
+                                             index, params)
+                mappings.extend(glue.gate_and_format(
+                    bm, query_frags.frag_ids[b0 + fbs], params))
         return mappings
 
     import numpy as xp
@@ -213,7 +215,6 @@ def map_queries_batched(queries: List[QueryFragments], index: ReferenceIndex,
     path costs more host time than the device mapping itself at scale.
     """
     from fastani_tpu.ops import stats
-    from fastani_tpu.utils import refmodel
 
     B = params.frag_batch
     stream = queries if isinstance(queries, FragmentStream) \
@@ -222,7 +223,6 @@ def map_queries_batched(queries: List[QueryFragments], index: ReferenceIndex,
     F = stream.F
 
     cols = {k: [] for k in ("qno", "qsid", "sid", "start", "ident")}
-    hindex = None
 
     # depth-2 dispatch pipeline: batch i+1 is enqueued (H2D + launch)
     # before batch i's results are fetched, so tunnel latency overlaps
@@ -257,17 +257,21 @@ def map_queries_batched(queries: List[QueryFragments], index: ReferenceIndex,
             cols["sid"].append(out["sid"])
             cols["start"].append(out["mean_pos"])
             cols["ident"].append(ident)
-        for fb in out["fallback_frags"]:
-            if hindex is None:
-                hindex = index.host_view()
-            ms = refmodel.map_fragment(batch[int(fb)], hindex, params,
-                                       int(gid_row[int(fb)]))
-            if ms:
-                cols["qno"].append(np.full(len(ms), qno_row[int(fb)], np.int32))
-                cols["qsid"].append(np.array([m.query_seq_id for m in ms], np.int64))
-                cols["sid"].append(np.array([m.ref_seq_id for m in ms], np.int64))
-                cols["start"].append(np.array([m.ref_start_pos for m in ms], np.int64))
-                cols["ident"].append(np.array([m.nuc_identity for m in ms], np.float32))
+        fbs = out["fallback_frags"]
+        if len(fbs):
+            # batched exact fallback with data-sized caps (glue), gated
+            # identically to the device path
+            bm = glue.map_fallback_batch(batch[fbs], index, params)
+            if len(bm.frag):
+                ident, upper = stats.identities_for(bm.shared, bm.sketch,
+                                                    params.kmer_size)
+                keep = upper >= params.percentage_identity
+                rows = bm.frag[keep]
+                cols["qno"].append(qno_row[fbs[rows]])
+                cols["qsid"].append(gid_row[fbs[rows]].astype(np.int64))
+                cols["sid"].append(bm.sid[keep].astype(np.int64))
+                cols["start"].append(bm.mean_pos[keep].astype(np.int64))
+                cols["ident"].append(ident[keep].astype(np.float32))
 
     if cols["qno"]:
         qno = np.concatenate(cols["qno"])
@@ -290,7 +294,8 @@ def map_queries_batched(queries: List[QueryFragments], index: ReferenceIndex,
 
 def map_queries_cgi_device(queries: List[QueryFragments], index: ReferenceIndex,
                            params: Parameters, jit_mapper,
-                           n_query_genomes: int, n_ref_genomes: int):
+                           n_query_genomes: int, n_ref_genomes: int,
+                           stats: Optional[dict] = None):
     """Throughput path: map all queries AND aggregate CGI on device.
 
     Mapping rows never leave the device — each batch contributes its
@@ -307,7 +312,6 @@ def map_queries_cgi_device(queries: List[QueryFragments], index: ReferenceIndex,
     import jax
 
     from fastani_tpu.models import device_cgi
-    from fastani_tpu.utils import refmodel
 
     B = params.frag_batch
     stream = queries if isinstance(queries, FragmentStream) \
@@ -329,11 +333,10 @@ def map_queries_cgi_device(queries: List[QueryFragments], index: ReferenceIndex,
         index, params, n_query_genomes, n_ref_genomes, n_slots,
         frag_cap=B, donate=jax.default_backend() == "tpu")
 
-    hindex = None
     next_fin = 0  # first not-yet-finalized query genome
 
     def handle_result(b0, batch, qno_row, gid_row, packed, n_valid, fb):
-        nonlocal hindex, next_fin
+        nonlocal next_fin
         n_used = min(B, F - b0)
         excl = np.zeros(B, bool)
         excl[n_used:] = True                  # zero-padded tail rows
@@ -342,19 +345,22 @@ def map_queries_cgi_device(queries: List[QueryFragments], index: ReferenceIndex,
             excl[fb] = True
         cgi.update(packed, n_valid, excl)
         if len(fb):
-            # host fallback rows for overflowed fragments, injected as one
-            # 1-way group (local fragment ids keep per-fragment dedupe)
-            if hindex is None:
-                hindex = index.host_view()
-            cols = []
-            for li, f in enumerate(fb):
-                for m in refmodel.map_fragment(batch[int(f)], hindex,
-                                               params, int(gid_row[int(f)])):
-                    cols.append((li, qno_row[int(f)], m.query_seq_id,
-                                 m.ref_seq_id, m.conserved, m.sketch_size,
-                                 m.ref_start_pos))
-            if cols:
-                cgi.inject(np.asarray(cols, np.int32).T)
+            # batched exact fallback for overflowed fragments, injected as
+            # one 1-way group (local fragment ids keep per-fragment dedupe)
+            fbr = np.asarray(fb, np.int32)
+            bm = glue.map_fallback_batch(batch[fbr], index, params)
+            if len(bm.frag):
+                from fastani_tpu.ops import stats as _stats
+
+                _, upper = _stats.identities_for(bm.shared, bm.sketch,
+                                                 params.kmer_size)
+                keep = upper >= params.percentage_identity
+                rows = bm.frag[keep]
+                inj = np.stack([
+                    rows, qno_row[fbr[rows]], gid_row[fbr[rows]],
+                    bm.sid[keep], bm.shared[keep], bm.sketch[keep],
+                    bm.mean_pos[keep]]).astype(np.int32)
+                cgi.inject(inj)
         # close every query genome whose fragments all precede the next
         # batch (slots recycle modulo n_slots)
         nb = b0 + B
@@ -371,9 +377,11 @@ def map_queries_cgi_device(queries: List[QueryFragments], index: ReferenceIndex,
                          jit_mapper.dispatch(batch, qno_row, gid_row)))
         if len(inflight) >= 2:
             p0, bt, qr, gr, h = inflight.pop(0)
-            handle_result(p0, bt, qr, gr, *jit_mapper.collect_device(h))
+            handle_result(p0, bt, qr, gr,
+                          *jit_mapper.collect_device(h, stats=stats))
     for p0, bt, qr, gr, h in inflight:
-        handle_result(p0, bt, qr, gr, *jit_mapper.collect_device(h))
+        handle_result(p0, bt, qr, gr,
+                      *jit_mapper.collect_device(h, stats=stats))
     while next_fin < n_query_genomes:
         cgi.finalize_query(next_fin)
         next_fin += 1

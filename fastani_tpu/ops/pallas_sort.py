@@ -179,11 +179,30 @@ def _sort_kv_call(n: int, blocks: int, m: int, interpret: bool):
     )
 
 
-def sort_rows_u32_kv(x, payload, interpret: bool = None):
+def sort_rows_u32_kv(x, payload, interpret: bool = None,
+                     debug_check_unique: bool = False):
     """Ascending per-row key sort of (R, n) uint32 `x`, with a uint32
-    `payload` permuted alongside.  Keys must be row-unique.  Returns
-    (sorted_keys, permuted_payload)."""
+    `payload` permuted alongside.  Returns (sorted_keys, permuted_payload).
+
+    KEYS MUST BE ROW-UNIQUE for a deterministic payload permutation: on a
+    key tie both compare-exchange partners take the same side, so one
+    payload is duplicated and the other dropped.  In-repo callers either
+    pack position/code bits into the key (row-unique by construction) or
+    mask tied (clamped/pad) payloads downstream.  New callers can pass
+    debug_check_unique=True to assert uniqueness of the real (non-pad)
+    keys eagerly (host fetch — debug only, never on a hot path).
+    """
     import jax.numpy as jnp
+
+    if debug_check_unique:
+        import numpy as _np
+
+        hk = _np.asarray(x, dtype=_np.uint32)
+        for r, row in enumerate(hk):
+            real = row[row != _np.uint32(0xFFFFFFFF)]
+            if len(_np.unique(real)) != len(real):
+                raise AssertionError(
+                    f"sort_rows_u32_kv: duplicate non-pad keys in row {r}")
 
     R, n = x.shape
     assert n & (n - 1) == 0 and 1024 <= n <= 32768, n

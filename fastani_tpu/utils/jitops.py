@@ -54,6 +54,34 @@ def concat(arrays):
     return _concat()(tuple(arrays))
 
 
+@functools.cache
+def _concat2():
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda a, b: jnp.concatenate([a, b]))
+
+
+def concat_binomial(arrays):
+    """Order-preserving concatenate with a BOUNDED set of compiled
+    programs: adjacent equal-length pieces merge pairwise (binomial-heap
+    style), so the hot merges compile one (n, n) program per size class
+    instead of one program per distinct piece-list shape tuple (which
+    grew the jit cache per workload — advisor round 3).  Piece producers
+    emit pow-2-bucketed row counts, so the stack stays ~log-deep."""
+    stack = []
+    for a in arrays:
+        stack.append(a)
+        while len(stack) >= 2 and stack[-2].shape[0] == stack[-1].shape[0]:
+            b = stack.pop()
+            stack.append(_concat2()(stack.pop(), b))
+    if not stack:
+        raise ValueError("concat_binomial of empty list")
+    if len(stack) == 1:
+        return stack[0]
+    return _concat()(tuple(stack))
+
+
 @functools.lru_cache(maxsize=None)
 def _pad_tail(n: int, fill: int, dtype: str):
     import jax

@@ -41,7 +41,7 @@ def main():
     from fastani_tpu.models import device_cgi, jitmap, pipeline
 
     workdir = tempfile.mkdtemp(prefix="fastani_prof_")
-    paths, _ = build_workload(workdir, args.genomes, args.size)
+    paths = build_workload(workdir, args.genomes, args.size)
     params = Parameters(frag_batch=args.frag_batch).finalize()
     scaled_caps(len(paths), params)
     params.ref_sequences = list(paths)

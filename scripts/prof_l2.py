@@ -32,7 +32,7 @@ def main():
 
     genomes, size, B = 8, 1_000_000, 512
     workdir = tempfile.mkdtemp(prefix="fastani_profl2_")
-    paths, _ = build_workload(workdir, genomes, size)
+    paths = build_workload(workdir, genomes, size)
     params = Parameters(frag_batch=B).finalize()
     params.ref_sequences = list(paths)
     params.query_sequences = list(paths)

@@ -56,7 +56,7 @@ def main():
     from fastani_tpu.ops.xputils import lut_searchsorted
 
     workdir = tempfile.mkdtemp(prefix="fastani_prof_")
-    paths, _ = build_workload(workdir, args.genomes, args.size)
+    paths = build_workload(workdir, args.genomes, args.size)
     params = Parameters(frag_batch=args.frag_batch).finalize()
     scaled_caps(len(paths), params)
     params.ref_sequences = list(paths)

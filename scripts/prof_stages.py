@@ -78,7 +78,7 @@ def main():
         print(f"hashing metric failed: {e}", flush=True)
 
     workdir = tempfile.mkdtemp(prefix="fastani_prof_")
-    paths, _ = build_workload(workdir, args.genomes, args.size)
+    paths = build_workload(workdir, args.genomes, args.size)
     params = Parameters(frag_batch=args.frag_batch).finalize()
     params.ref_sequences = list(paths)
     params.query_sequences = list(paths)
