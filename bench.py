@@ -11,25 +11,30 @@ device->host link degrades the artifact to "partial" instead of "null":
                  baseline extrapolated linearly in pairs from mid, which
                  favors the reference since its index build amortizes)
 
+Each milestone runs ONE-SHOT in its OWN SUBPROCESS.  Rationale
+(measured, round 4 — utils/jitops docstring): on the tunneled TPU the
+first device->host fetch permanently degrades the client's dispatch and
+transfer latency 15-250x, and block_until_ready is a no-op in async
+mode, so the only honest timing is wall-clock from first enqueue through
+the single end-of-run readout, in a fresh process per measurement.  The
+persistent compile cache makes repeated subprocesses warm.
+
 Safety rails:
   * reference-baseline timings are cached in ``bench_baselines.json``
     (committed; the workload is seeded and deterministic) — a cache hit
-    skips the ~170 s C++ rerun that burned round 3's budget.  Uncached
+    skips the ~225 s C++ rerun that burned round 3's budget.  Uncached
     baselines are measured AFTER our own numbers print.
   * ``--deadline SEC`` (default 2400) arms a watchdog thread that
-    force-exits 0 with whatever has been printed — this also converts a
-    wedged device fetch (PERF.md "measurement hygiene") into a partial
-    artifact instead of a hang.
-  * both cold (incl. compile) and steady-state timings are emitted per
-    milestone (advisor round 3: keep rounds comparable).
+    force-exits 0 with whatever has been printed; each milestone
+    subprocess also gets a hard timeout.
   * per-batch overflow/caps diagnostics (max_hits vs hits_cap, dropped
     units, host-fallback fragment count) are included to prove no
     silent overflow stampede at scale (verdict round 3, weak #3).
 
 Workload: synthetic all-vs-all (point-mutated strains of a common base so
 every pair actually maps — the worst case for mapping work).  Ours: the
-jitted TPU mapping step streaming fragment batches against a
-device-resident index, with the bounded-memory streaming device CGI.
+fused zero-fetch TPU pipeline — device-resident index build, K-batch
+map+CGI scan programs, one readout.
 """
 
 from __future__ import annotations
@@ -57,6 +62,12 @@ WORKLOAD_SEED = 123
 _T0 = time.time()
 _DEADLINE = [float("inf")]
 
+MILESTONES = {
+    "quick": dict(n=8, size=1_000_000),
+    "mid": dict(n=32, size=3_000_000),
+    "full": dict(n=100, size=3_000_000),
+}
+
 
 def _log(msg: str) -> None:
     print(f"[bench +{time.time()-_T0:6.1f}s] {msg}", file=sys.stderr,
@@ -73,8 +84,7 @@ def _arm_watchdog(deadline: float) -> None:
     def run():
         while True:
             time.sleep(5)
-            left = _remaining()
-            if left <= 0:
+            if _remaining() <= 0:
                 _log("DEADLINE reached — exiting with partial results")
                 sys.stdout.flush()
                 sys.stderr.flush()
@@ -88,17 +98,20 @@ def _arm_watchdog(deadline: float) -> None:
 # ---------------------------------------------------------------------------
 
 def build_workload(workdir: str, n_genomes: int, size: int):
+    """Deterministic synthetic all-vs-all genomes (seeded); reuses files
+    already present in workdir."""
     from tests import synth
 
+    paths = [os.path.join(workdir, f"g{i}.fa") for i in range(n_genomes)]
+    if all(os.path.exists(p) and os.path.getsize(p) > size for p in paths):
+        return paths
     rng = np.random.default_rng(WORKLOAD_SEED)
     base = synth.random_genome(rng, size)
-    paths = []
-    for i in range(n_genomes):
-        g = synth.mutate_genome(rng, base, 0.01 + 0.04 * (i / max(n_genomes - 1, 1)),
+    for i, p in enumerate(paths):
+        g = synth.mutate_genome(rng, base,
+                                0.01 + 0.04 * (i / max(n_genomes - 1, 1)),
                                 indel_rate=0.0002)
-        p = os.path.join(workdir, f"g{i}.fa")
         synth.write_fasta(p, [(f"g{i}", g)])
-        paths.append(p)
     return paths
 
 
@@ -153,7 +166,6 @@ def get_baseline(workdir, paths, n, size, allow_measure: bool,
         return e["pairs_per_sec"], f"cache({e['seconds']}s)"
     if not allow_measure:
         return None, "uncached"
-    # ~budget estimate: scale the largest cached entry by pairs*size
     est = 10.0
     for ck, e in cache.items():
         try:
@@ -177,11 +189,11 @@ def get_baseline(workdir, paths, n, size, allow_measure: bool,
         return None, "timeout"
     except Exception as e:
         _log(f"baseline failed: {e}")
-        return None, f"error"
+        return None, "error"
 
 
 # ---------------------------------------------------------------------------
-# ours
+# ours: one-shot milestone (runs inside a dedicated subprocess)
 # ---------------------------------------------------------------------------
 
 def scaled_caps(n_genomes: int, params) -> None:
@@ -197,11 +209,14 @@ def scaled_caps(n_genomes: int, params) -> None:
         params.hits_cap *= 2
 
 
-def bench_ours(paths, frag_batch, unit_chunk, repeats, out_prefix=None):
-    """Cold + steady-state measurement: the cold column includes every
-    compile on the real path (index build, map step, streaming-CGI
-    update/finalize); steady-state repeats time the same programs warm.
-    Returns a detail dict."""
+def run_one_shot(paths, frag_batch: int, unit_chunk: int, fuse_k: int,
+                 out_prefix: str) -> dict:
+    """Complete one-shot run: device index build + fused zero-fetch map
+    stream + single readout.  Wall-clock spans first enqueue through the
+    readout's final fetch — the only honest timing on this platform
+    (module docstring)."""
+    import jax
+
     from fastani_tpu.config import Parameters
     from fastani_tpu.index.sketch import ReferenceIndex
     from fastani_tpu.models import ani, jitmap, output, pipeline
@@ -214,48 +229,40 @@ def bench_ours(paths, frag_batch, unit_chunk, repeats, out_prefix=None):
     params.query_sequences = list(paths)
     G = len(paths)
 
-    t0 = time.time()
-    index = ReferenceIndex.build_device(params)
-    t_index_cold = time.time() - t0
-    _log(f"index built (device-resident): {index.num_entries} entries "
-         f"({t_index_cold:.1f}s cold, incl. compile)")
-    t0 = time.time()
-    index = ReferenceIndex.build_device(params)
-    t_index = time.time() - t0
-    _log(f"index rebuilt steady-state in {t_index:.2f}s")
+    t_init0 = time.time()
+    jax.devices()
+    if jax.default_backend() == "tpu":
+        from fastani_tpu.utils import jitops
 
-    # unit list sized to the genome count: in all-vs-all every fragment
-    # can hit every genome; undersizing would truncate to the host fallback
+        jitops.engage_sync()    # sync mode IS the fast mode (jitops doc)
+    t_backend = time.time() - t_init0
+
+    t0 = time.time()
+    index = ReferenceIndex.build_device(params)
+    t_build_enqueue = time.time() - t0
+
+    t0 = time.time()
     mapper = jitmap.JitMapper(params, index, unit_factor=G + 2,
                               unit_chunk=unit_chunk)
+    t_mapper = time.time() - t0
+
+    t0 = time.time()
     queries = [pipeline.load_query_fragments(p, params) for p in paths]
     n_frags = sum(len(q.frags) for q in queries)
+    t_ingest = time.time() - t0
 
-    def one_pass():
-        stats: dict = {}
-        t0 = time.time()
-        counts, sums = pipeline.map_queries_cgi_device(
-            queries, index, params, mapper, G, G, stats=stats)
-        return time.time() - t0, counts, sums, stats
+    t0 = time.time()
+    handle = pipeline.map_queries_cgi_stream(queries, index, params, mapper,
+                                             G, G, fuse_k=fuse_k)
+    t_stream_enqueue = time.time() - t0
 
-    t_map_cold, counts, sums, stats = one_pass()      # compiles
-    _log(f"map pass cold (incl. compile): {t_map_cold:.1f}s")
-    t_map = t_map_cold
-    for rep in range(repeats):
-        if rep and _remaining() < 1.5 * t_map:
-            _log("skipping further repeats (deadline)")
-            break
-        dt, counts, sums, stats = one_pass()
-        _log(f"repeat {rep + 1}/{repeats}: map {dt:.2f}s "
-             f"({n_frags} frags, {n_frags/dt:.0f} frags/s)")
-        t_map = min(t_map, dt)
-    _log(f"caps diagnostics: max_hits={stats.get('max_hits')}/"
-         f"{params.hits_cap} max_groups={stats.get('max_groups')}/"
-         f"{params.cand_cap} max_s={stats.get('max_s')}/"
-         f"{params.sketch_cap} n_units<= {stats.get('n_units')}/"
-         f"{mapper.cfg.unit_cap} fallback_frags="
-         f"{stats.get('fallback_frags', 0)}")
+    stats: dict = {}
+    t0 = time.time()
+    counts, sums = pipeline.map_queries_cgi_finish(handle, index, params,
+                                                   mapper, stats=stats)
+    t_readout = time.time() - t0
 
+    total = time.time() - t_init0 - t_backend   # engine work, excl. device init
     rows = []
     for q in range(G):
         for g in range(G):
@@ -264,7 +271,6 @@ def bench_ours(paths, frag_batch, unit_chunk, repeats, out_prefix=None):
                     q, g, int(counts[q, g]), queries[q].total_fragments,
                     np.float32(sums[q, g] / np.float32(counts[q, g]))))
     if out_prefix:
-        # full --matrix output semantics (BASELINE config many-to-many)
         from fastani_tpu.io import fasta
 
         glens = {p: fasta.genome_length_for_ani(p, params.frag_len)
@@ -273,36 +279,36 @@ def bench_ours(paths, frag_batch, unit_chunk, repeats, out_prefix=None):
         if params.matrix_output:
             output.write_phylip(rows, glens, params, out_prefix)
     return dict(
-        map_seconds=round(t_map, 3), index_seconds=round(t_index, 3),
-        map_seconds_cold=round(t_map_cold, 2),
-        index_seconds_cold=round(t_index_cold, 2),
-        frags=n_frags, frags_per_sec=round(n_frags / t_map, 1),
-        ani_rows=len(rows),
+        total_seconds=round(total, 3),
+        backend_init_seconds=round(t_backend, 2),
+        build_enqueue_seconds=round(t_build_enqueue, 3),
+        mapper_init_seconds=round(t_mapper, 3),
+        ingest_seconds=round(t_ingest, 3),
+        stream_enqueue_seconds=round(t_stream_enqueue, 3),
+        readout_seconds=round(t_readout, 3),
+        frags=n_frags, ani_rows=len(rows),
         caps=dict(hits_cap=params.hits_cap, cand_cap=params.cand_cap,
                   sketch_cap=params.sketch_cap, unit_cap=mapper.cfg.unit_cap),
         observed=dict(max_hits=stats.get("max_hits"),
                       max_groups=stats.get("max_groups"),
                       max_s=stats.get("max_s"),
-                      max_units_batch=stats.get("n_units"),
                       fallback_frags=stats.get("fallback_frags", 0)),
+        readout_stages={k: v for k, v in stats.items()
+                        if k.startswith("t_")},
     )
 
 
 def measure_hashing_gbps(rows: int = 512, reps: int = 8) -> float:
     """Steady-state minimizer extraction (murmur3 fwd+rc + winnow +
     per-row compaction) throughput in Gbp/s — the production index-build
-    producer (Pallas fused kernel on TPU, XLA pipeline elsewhere).
-
-    Dispatches are enqueued back-to-back and synced once, matching how the
-    index build streams flushes (JAX async dispatch pipelines them), so
-    the number reflects device throughput rather than the tunnel's
-    per-roundtrip latency floor.
-    """
-    import jax
+    producer.  Timed enqueue->readout around `reps` chained dispatches
+    with ONE tiny fetch at the end (block_until_ready lies in async
+    mode)."""
     import jax.numpy as jnp
 
     from fastani_tpu.index import device_build as db
     from fastani_tpu.ops import pallas_winnow as pw
+    from fastani_tpu.utils import jitops
 
     k, w = 16, 24
     rng = np.random.default_rng(7)
@@ -327,111 +333,86 @@ def measure_hashing_gbps(rows: int = 512, reps: int = 8) -> float:
         fn = db._chunk_batch_jit(k, w, db._CHUNK)
         args = (jnp.asarray(buf), jnp.asarray(lens))
         n_bases = n_contigs * db._CHUNK
-    out = jax.block_until_ready(fn(*args))
+    jitops.engage_sync()          # sync mode IS the fast mode (jitops doc)
+    fn(*args)                     # compile + warm
     t0 = time.time()
-    outs = [fn(*args) for _ in range(reps)]     # enqueue the whole chain
-    for o in outs:
-        jax.block_until_ready(o)
-    dt = (time.time() - t0) / reps
-    return n_bases / dt / 1e9
+    outs = [fn(*args) for _ in range(reps)]
+    _ = jitops.fetch(outs[-1][2][:1])           # one small readout
+    dt = time.time() - t0
+    return n_bases * reps / dt / 1e9
 
 
 # ---------------------------------------------------------------------------
-# milestones
+# orchestration
 # ---------------------------------------------------------------------------
 
-MILESTONES = {
-    "quick": dict(n=8, size=1_000_000, repeats=2),
-    "mid": dict(n=32, size=3_000_000, repeats=1),
-    "full": dict(n=100, size=3_000_000, repeats=1),
-}
+def run_milestone_subprocess(name: str, args, workdir: str) -> dict:
+    """Spawn the one-shot milestone in a FRESH process (fresh async-mode
+    client; the compile cache keeps it warm) with a hard timeout."""
+    budget = max(min(_remaining() - 30, args.milestone_timeout), 60)
+    cmd = [sys.executable, os.path.join(REPO, "bench.py"),
+           "--milestone", name, "--workdir", workdir,
+           "--frag-batch", str(args.frag_batch),
+           "--unit-chunk", str(args.unit_chunk),
+           "--fuse-k", str(args.fuse_k)]
+    if args.cpu:
+        cmd.append("--cpu")
+    try:
+        r = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=None,
+                           timeout=budget)
+    except subprocess.TimeoutExpired:
+        return {"error": f"milestone timeout ({budget:.0f}s)"}
+    lines = [l for l in r.stdout.decode().splitlines() if l.startswith("{")]
+    if r.returncode != 0 or not lines:
+        return {"error": f"milestone rc={r.returncode}"}
+    return json.loads(lines[-1])
 
 
-def run_milestone(name: str, args, milestones_done: dict,
-                  gbps) -> None:
-    spec = MILESTONES[name]
+def milestone_child(args) -> None:
+    spec = MILESTONES[args.milestone]
     n, size = spec["n"], spec["size"]
-    workdir = tempfile.mkdtemp(prefix=f"fastani_bench_{name}_")
-    t0 = time.time()
-    paths = build_workload(workdir, n, size)
-    _log(f"[{name}] workload: {n} genomes x {size/1e6:.1f} Mbp "
-         f"({time.time()-t0:.0f}s to synthesize)")
-
-    detail = dict(backend=_backend_name(), milestone=name,
-                  frag_batch=args.frag_batch, unit_chunk=args.unit_chunk)
-
-    ours = bench_ours(paths, args.frag_batch, args.unit_chunk,
-                      spec["repeats"],
-                      out_prefix=os.path.join(workdir, "ours.out"))
-    total = ours["map_seconds"] + ours["index_seconds"]
-    pps = n * n / total
-    detail.update(ours)
-    detail["pairs_per_sec_cold"] = round(
-        n * n / (ours["map_seconds_cold"] + ours["index_seconds_cold"]), 3)
-
-    # baseline: cache hit, else measured AFTER our number is safe
-    base_pps, base_src = (None, "disabled")
-    if not args.skip_baseline:
-        base_pps, base_src = get_baseline(
-            workdir, paths, n, size, allow_measure=not args.cached_baseline_only)
-        if base_pps is None and name == "full":
-            # extrapolate from the mid milestone's measured rate: linear in
-            # pairs at equal genome size (favors the reference — its index
-            # build amortizes at the larger size)
-            mid = milestones_done.get("mid")
-            if mid and mid.get("baseline_pairs_per_sec"):
-                base_pps = mid["baseline_pairs_per_sec"]
-                base_src = f"extrapolated_from_mid({base_pps:.2f}pps)"
-    detail["baseline_pairs_per_sec"] = round(base_pps, 4) if base_pps else None
-    detail["baseline_source"] = base_src
-    detail["hashing_gbp_per_sec"] = gbps
-    detail["milestones_done"] = {k: v.get("summary") for k, v
-                                 in milestones_done.items()}
-
-    result = {
-        "metric": "genome-pairs/sec (all-vs-all, %dx%d @ %.1f Mbp)" % (
-            n, n, size / 1e6),
-        "value": round(pps, 3),
-        "unit": "pairs/s",
-        "vs_baseline": round(pps / base_pps, 3) if base_pps else None,
-        "detail": detail,
-    }
-    print(json.dumps(result), flush=True)
-    milestones_done[name] = dict(
-        baseline_pairs_per_sec=base_pps,
-        summary=dict(value=result["value"], vs_baseline=result["vs_baseline"],
-                     map_seconds=ours["map_seconds"],
-                     index_seconds=ours["index_seconds"]))
+    paths = build_workload(args.workdir, n, size)
+    res = run_one_shot(paths, args.frag_batch, args.unit_chunk, args.fuse_k,
+                       os.path.join(args.workdir, "ours.out"))
+    res["milestone"] = args.milestone
+    res["n"] = n
+    res["size"] = size
+    print(json.dumps(res), flush=True)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["ladder", "scale", "quick"],
                     default="ladder")
+    ap.add_argument("--milestone", choices=list(MILESTONES), default=None,
+                    help="internal: run ONE milestone one-shot and exit")
+    ap.add_argument("--workdir", default=None)
     ap.add_argument("--frag-batch", type=int, default=512)
     ap.add_argument("--unit-chunk", type=int, default=256)
+    ap.add_argument("--fuse-k", type=int, default=16)
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--cached-baseline-only", action="store_true",
                     help="never measure the C++ baseline; use the "
                          "committed cache or report vs_baseline null")
+    ap.add_argument("--milestone-timeout", type=float, default=1500)
     ap.add_argument("--deadline", type=float,
                     default=float(os.environ.get("BENCH_DEADLINE", 2400)),
-                    help="wall-clock budget in seconds; the watchdog "
-                         "force-exits 0 with partial results at this point")
+                    help="wall-clock budget; the watchdog force-exits 0 "
+                         "with partial results at this point")
     ap.add_argument("--cpu", action="store_true",
-                    help="force the CPU backend (smoke tests; the axon TPU "
-                         "plugin ignores JAX_PLATFORMS)")
+                    help="force the CPU backend")
     args = ap.parse_args()
     if args.cpu:
         _platform.force_cpu()
-    _arm_watchdog(args.deadline)
 
-    gbps = None
-    try:
-        gbps = round(measure_hashing_gbps(), 3)
-        _log(f"hashing producer: {gbps} Gbp/s")
-    except Exception as e:
-        _log(f"hashing metric failed: {e}")
+    if args.milestone:
+        if args.workdir is None:
+            args.workdir = tempfile.mkdtemp(
+                prefix=f"fastani_bench_{args.milestone}_")
+        milestone_child(args)
+        return
+
+    _arm_watchdog(args.deadline)
 
     if args.mode == "quick":
         ladder = ["quick"]
@@ -440,24 +421,79 @@ def main():
     else:
         ladder = ["quick", "mid", "full"]
 
+    gbps = None
     milestones_done: dict = {}
     for name in ladder:
-        if name == "mid" and _remaining() < 240:
+        if name == "mid" and _remaining() < 180:
             _log("skip mid milestone: deadline")
             break
-        if name == "full" and _remaining() < 600:
+        if name == "full" and _remaining() < 300:
             _log("skip full milestone: deadline")
             break
-        run_milestone(name, args, milestones_done, gbps)
+        spec = MILESTONES[name]
+        n, size = spec["n"], spec["size"]
+        workdir = tempfile.mkdtemp(prefix=f"fastani_bench_{name}_")
+        t0 = time.time()
+        paths = build_workload(workdir, n, size)
+        _log(f"[{name}] workload: {n} x {size/1e6:.1f} Mbp "
+             f"({time.time()-t0:.0f}s to synthesize)")
+        child = run_milestone_subprocess(name, args, workdir)
+        if "error" in child:
+            _log(f"[{name}] {child['error']}")
+            continue
+        total = child["total_seconds"]
+        pps = n * n / total
+        _log(f"[{name}] one-shot {total:.2f}s = {pps:.1f} pairs/s "
+             f"(readout {child['readout_seconds']}s, "
+             f"fallbacks {child['observed']['fallback_frags']})")
 
+        if gbps is None:
+            # hashing metric in ITS OWN subprocess (fresh async client)
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c",
+                     "import sys; sys.path.insert(0, %r); "
+                     "import bench; print(bench.measure_hashing_gbps())"
+                     % REPO],
+                    stdout=subprocess.PIPE, timeout=300)
+                gbps = round(float(r.stdout.decode().strip().split()[-1]), 3)
+                _log(f"hashing producer: {gbps} Gbp/s")
+            except Exception as e:
+                _log(f"hashing metric failed: {e}")
 
-def _backend_name():
-    try:
-        import jax
+        base_pps, base_src = (None, "disabled")
+        if not args.skip_baseline:
+            base_pps, base_src = get_baseline(
+                workdir, paths, n, size,
+                allow_measure=not args.cached_baseline_only)
+            if base_pps is None and name == "full":
+                mid = milestones_done.get("mid")
+                if mid and mid.get("baseline_pps"):
+                    base_pps = mid["baseline_pps"]
+                    base_src = "extrapolated_from_mid(linear in pairs)"
 
-        return str(jax.devices()[0])
-    except Exception:
-        return "unknown"
+        detail = dict(child)
+        detail.update(
+            baseline_pairs_per_sec=round(base_pps, 4) if base_pps else None,
+            baseline_source=base_src,
+            hashing_gbp_per_sec=gbps,
+            milestones_done={k: v.get("summary")
+                             for k, v in milestones_done.items()},
+        )
+        result = {
+            "metric": "genome-pairs/sec (all-vs-all, %dx%d @ %.1f Mbp, "
+                      "one-shot incl. index build)" % (n, n, size / 1e6),
+            "value": round(pps, 3),
+            "unit": "pairs/s",
+            "vs_baseline": round(pps / base_pps, 3) if base_pps else None,
+            "detail": detail,
+        }
+        print(json.dumps(result), flush=True)
+        milestones_done[name] = dict(
+            baseline_pps=base_pps,
+            summary=dict(value=result["value"],
+                         vs_baseline=result["vs_baseline"],
+                         total_seconds=total))
 
 
 if __name__ == "__main__":

@@ -57,7 +57,9 @@ def _compact_rows(jnp, emit, h, wp, rows: int):
     h2 = h.reshape(rows, _ROW)
     w2 = wp.reshape(rows, _ROW)
     row_cnt = e2.sum(axis=1).astype(jnp.int32)
-    overflow = (row_cnt > _CAP_R).any()
+    # (1, 1) cell, never a rank-0 output: the flag feeds jitops.any_of,
+    # and rank-0 jit inputs de-async the tunneled client permanently
+    overflow = (row_cnt > _CAP_R).any().reshape(1, 1)
     from fastani_tpu.ops import pallas_compact as pcx
 
     if pcx.use_pallas_compact(True, _ROW):
@@ -85,11 +87,15 @@ def _chunk_jit(k: int, w: int, chunk: int):
 
     R = chunk // _ROW
 
+    # every scalar crosses the jit boundary as a (1, 1) cell (rank-0
+    # inputs de-async the tunneled client — utils/jitops docstring)
     def f(seq, base, carry_sel, carry_has, true_len):
         emit, h, wp, ns, nh = minimizer.winnow_chunk_kernel(
-            seq, base, carry_sel, carry_has, true_len, k, w)
+            seq, base[0, 0], carry_sel[0, 0], carry_has[0, 0],
+            true_len[0, 0], k, w)
         hr, wr, row_cnt, overflow = _compact_rows(jnp, emit, h, wp, R)
-        return hr, wr, row_cnt, overflow, ns, nh
+        return (hr, wr, row_cnt, overflow,
+                ns.reshape(1, 1), nh.reshape(1, 1))
 
     return jax.jit(f)
 
@@ -164,10 +170,13 @@ def winnow_contig_device(seq_np: np.ndarray, k: int, w: int,
         return [], None
     halo = w - 1
     width = halo + chunk + k - 1
+    from fastani_tpu.utils.jitops import cell
+
     fn = _chunk_jit(k, w, chunk)
-    carry_sel, carry_has = np.int32(-2), np.bool_(False)
+    carry_sel, carry_has = cell(-2), cell(False, np.bool_)
+    L_cell = cell(L)
     pieces = []
-    overflows = []   # device scalars; reduced jitted by the caller
+    overflows = []   # (1, 1) device cells; reduced jitted by the caller
     for base in range(0, L, chunk):
         buf = np.zeros(width, np.uint8)
         lo = base - halo
@@ -175,8 +184,7 @@ def winnow_contig_device(seq_np: np.ndarray, k: int, w: int,
         src_hi = min(base + chunk + k - 1, L)
         buf[src_lo - lo: src_hi - lo] = seq_np[src_lo:src_hi]
         hr, wr, cnt, over, carry_sel, carry_has = fn(
-            jnp.asarray(buf), np.int32(base), carry_sel, carry_has,
-            np.int32(L))
+            jnp.asarray(buf), cell(base), carry_sel, carry_has, L_cell)
         pieces.append((hr, wr, cnt))
         overflows.append(over)
     return pieces, overflows
@@ -226,7 +234,9 @@ def _pallas_available() -> bool:
     return jax.default_backend() == "tpu"
 
 
-_PW_FLUSH = 256      # target rows per dispatch (~4.4 Mbp)
+_PW_FLUSH = 2048     # target rows per dispatch (~35 Mbp): few, large
+                     # programs — deep async dispatch queues are
+                     # pathological on this platform (utils/jitops)
 _PW_MAXROWS = 1024   # single-contig ceiling (~17.8 Mbp); larger -> XLA path
 
 
@@ -278,7 +288,7 @@ def build_device(cls, params: Parameters,
         pieces.append((hr.reshape(-1, _CAP_R), wr.reshape(-1, _CAP_R),
                        cnt.reshape(-1)))
         piece_sid_rows.append(np.repeat(sids, R))
-        overflow_dev.append(over.any())
+        overflow_dev.append(over)     # (nbp, 1, 1); any_of reduces jitted
         pending.clear()
 
     # ---- Pallas producer (TPU): haloed segment rows through the fused
@@ -378,17 +388,27 @@ def build_device(cls, params: Parameters,
     else:
         flush()
 
-    # ONE overflow check for the whole build; a per-row cap overflow means
-    # degenerate repeat input — rebuild exactly on the host (rare, and the
-    # repeat sanity check would reject such references anyway).  All
-    # reductions/concats below run jitted (utils/jitops): eager dispatches
-    # destabilize the tunneled client.
+    # Overflow (a 1024-row over the per-row minimizer cap) means
+    # degenerate repeat input — the exact host rebuild handles it.  On
+    # TPU the check is DEFERRED: fetching the flag here would be the
+    # process's first device->host transfer and would permanently degrade
+    # dispatch latency (utils/jitops docstring); the flag rides the index
+    # as a device cell and the driver checks it once at the end of the
+    # run (pipeline.map_queries_cgi_device / pipeline.run).  All
+    # reductions/concats below run jitted (utils/jitops): eager
+    # dispatches destabilize the tunneled client.
+    import jax
+
     import jax.numpy as jnp
 
     from fastani_tpu.utils import jitops
 
-    if jitops.any_of(overflow_dev):
-        return cls.build(params, ref_files)
+    overflow_cell = None
+    if overflow_dev:
+        if jax.default_backend() == "tpu":
+            overflow_cell = jitops._any_of()(tuple(overflow_dev))
+        elif jitops.any_of(overflow_dev):
+            return cls.build(params, ref_files)
 
     if pieces:
         # binomial pairwise merge: bounded compiled-program set vs one
@@ -412,27 +432,26 @@ def build_device(cls, params: Parameters,
         cnt_stack = jitops.pad_tail(cnt_stack, Pp, 0)
         sid_np = np.concatenate([sid_np, np.zeros(Pp - P, np.int32)])
 
-    out_size = _pow2(Pp * _CAP_R)
+    # +2048 margin past the worst-case entry count so the mapper can use
+    # len(occ_hash) directly as its padded width (the l2_entry_cap <=
+    # 1022 contiguous-slice margin) without fetching the true count
+    out_size = _pow2(Pp * _CAP_R + 2048)
     (mi_hash, mi_sid, mi_wpos, occ_hash, occ_sid, occ_wpos,
      counts2) = _assemble_jit(Pp, out_size)(
         h_stack, wp_stack, cnt_stack, jnp.asarray(sid_np))
 
-    res = np.asarray(counts2)                        # ONE small D2H
-    M, n_uniq = int(res[0]), int(res[1])
-
-    # per-contig entry spans (host; one small row-count transfer)
-    cnt_host = np.asarray(cnt_stack)[:P]
-    counts = np.zeros(len(metadata), np.int64)
-    np.add.at(counts, sid_np[:P], cnt_host.astype(np.int64))
-    seq_start = np.zeros(len(metadata) + 1, np.int64)
-    seq_start[1:] = np.cumsum(counts)
-
+    # NO device->host fetch here: the first fetch permanently degrades
+    # the tunneled client's dispatch latency (utils/jitops docstring).
+    # Entry counts and per-contig spans stay on device; host consumers
+    # (logging, sanity check, save, the exact fallback) materialize them
+    # lazily through the index's accessors.
     index = cls(params=params, metadata=metadata,
                 sequences_by_file=np.asarray(seq_by_file, np.int32),
                 mi_hash=mi_hash, mi_seqid=mi_sid, mi_wpos=mi_wpos,
                 occ_hash=occ_hash, occ_seqid=occ_sid, occ_wpos=occ_wpos,
-                seq_start=seq_start,
+                seq_start=None,
                 freq_threshold=np.iinfo(np.int32).max)
-    index._n_valid = M
-    index._n_unique_dev = n_uniq
+    index._counts2_dev = counts2
+    index._seq_parts = (cnt_stack, sid_np[:P].copy(), P)
+    index._overflow_dev = overflow_cell        # (1, 1) bool or None
     return index

@@ -58,24 +58,78 @@ class ReferenceIndex:
     ratio_difference: float = 0.0
 
     # set by the device build (index arrays live in HBM, padded to pow-2
-    # with UMAX/2^30 sentinels; _n_valid is the true entry count)
+    # with UMAX/2^30 sentinels; _n_valid is the true entry count).
+    # _counts2_dev keeps (entries, uniques) ON DEVICE: the device build
+    # performs NO device->host fetch (any fetch permanently degrades the
+    # tunneled client's dispatch latency — utils/jitops docstring); host
+    # consumers (logging, sanity check, save) pay the fetch lazily.
     _n_valid: Optional[int] = None
     _n_unique_dev: Optional[int] = None
     _host_clone: Optional["ReferenceIndex"] = None
+    _counts2_dev: Optional[object] = None     # device (2,) int64
+    _seq_parts: Optional[tuple] = None        # (cnt_rows_dev, sid_rows, P)
+    _overflow_dev: Optional[object] = None    # device (1, 1) bool (TPU build)
+
+    def check_build_overflow(self) -> bool:
+        """Deferred per-row-cap overflow flag of the device build (fetches
+        — call only at fetch-safe points, e.g. end of run).  True means
+        degenerate repeat input: rebuild exactly on host and re-map."""
+        if self._overflow_dev is None:
+            return False
+        from fastani_tpu.utils import jitops
+
+        flag = bool(jitops.fetch(self._overflow_dev)[0, 0])
+        self._overflow_dev = None
+        return flag
+
+    def _materialize_counts(self) -> None:
+        if self._n_valid is None and self._counts2_dev is not None:
+            from fastani_tpu.utils import jitops
+
+            res = jitops.fetch(self._counts2_dev)
+            self._n_valid = int(res[0])
+            self._n_unique_dev = int(res[1])
 
     @property
     def num_entries(self) -> int:
+        self._materialize_counts()
         if self._n_valid is not None:
             return self._n_valid
         return len(self.mi_hash)
 
     @property
     def num_unique_hashes(self) -> int:
+        self._materialize_counts()
         if self._n_unique_dev is not None:
             return self._n_unique_dev
         if len(self.occ_hash) == 0:
             return 0
         return int((np.diff(self.occ_hash) != 0).sum()) + 1
+
+    def n_occ_cell(self):
+        """True entry count as a (1, 1) int32 DEVICE cell, produced
+        without any device->host fetch (jit-sliced from the deferred
+        counts when device-built)."""
+        from fastani_tpu.utils import jitops
+
+        if self._counts2_dev is not None and self._n_valid is None:
+            return jitops.cell_from(self._counts2_dev, 0)
+        return jitops.cell(self.num_entries)
+
+    def host_seq_start(self) -> np.ndarray:
+        """Materialize per-contig entry spans on host (lazy for the
+        device build: requires fetching the per-piece row counts)."""
+        if self.seq_start is None:
+            from fastani_tpu.utils import jitops
+
+            cnt_rows_dev, sid_rows, P = self._seq_parts
+            cnt_host = jitops.fetch(cnt_rows_dev)[:P]
+            counts = np.zeros(len(self.metadata), np.int64)
+            np.add.at(counts, sid_rows[:P], cnt_host.astype(np.int64))
+            ss = np.zeros(len(self.metadata) + 1, np.int64)
+            ss[1:] = np.cumsum(counts)
+            self.seq_start = ss
+        return self.seq_start
 
     def is_device_resident(self) -> bool:
         return not isinstance(self.mi_hash, np.ndarray)
@@ -90,6 +144,7 @@ class ReferenceIndex:
             n = self.num_entries
             self._host_clone = dataclasses.replace(
                 self,
+                seq_start=self.host_seq_start(),
                 mi_hash=np.asarray(self.mi_hash)[:n],
                 mi_seqid=np.asarray(self.mi_seqid)[:n],
                 mi_wpos=np.asarray(self.mi_wpos)[:n],
@@ -218,7 +273,7 @@ class ReferenceIndex:
             sequences_by_file=self.sequences_by_file,
             ref_files=np.array(list(self.params.ref_sequences)),
             mi_hash=self.mi_hash, mi_seqid=self.mi_seqid, mi_wpos=self.mi_wpos,
-            seq_start=self.seq_start,
+            seq_start=self.host_seq_start(),
             freq_threshold=np.int64(self.freq_threshold),
         )
 

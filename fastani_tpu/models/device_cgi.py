@@ -136,56 +136,98 @@ def make_bin_tables(metadata_lengths, genome_of_seq, frag_len: int):
     return bin_start.astype(np.int32), gid_of_bin
 
 
+def update_tab(tab, packed, n_valid, excl_frag, genome_of_seq, bin_start,
+               ident_lut, frag_len: int, n_slots: int, n_rg: int,
+               frag_cap: int):
+    """Pure per-batch table fold: exact 1-way dedupe + 2-way scatter-max.
+    Shared by the standalone _update_jit and the fused multi-batch scan
+    step (models/jitmap.make_fused_stream_step) — fusing K batches into
+    one program keeps the dispatch queue shallow (deep async queues are
+    pathological on this platform, utils/jitops docstring)."""
+    import jax.numpy as jnp
+
+    frag, qno, qsid, sid, shared, sketch, pos = (packed[i]
+                                                 for i in range(7))
+    U = sid.shape[0]
+    # n_valid arrives as a (1, 1) cell or as the mapper's (10,)
+    # counts vector (element 0 = valid-row count) — never rank-0
+    # (de-async hazard, utils/jitops docstring)
+    nv = n_valid.reshape(-1)[0]
+    valid = (jnp.arange(U, dtype=jnp.int32) < nv) \
+        & ~excl_frag[jnp.clip(frag, 0, excl_frag.shape[0] - 1)]
+    ident = ident_lut[jnp.clip(sketch, 0, ident_lut.shape[0] - 1),
+                      jnp.clip(shared, 0, ident_lut.shape[1] - 1)]
+    ibits = jnp.where(valid, ident, jnp.float32(0)).view(jnp.int32)
+    ibits = jnp.where(valid, ibits, -1)
+    gid = genome_of_seq[jnp.clip(sid, 0, genome_of_seq.shape[0] - 1)]
+
+    # exact 1-way: best (ident, sid, pos) per (refGenome, fragment) —
+    # the overwrite law of computeCoreIdentity.hpp:212-232 with
+    # cmp_query_bucket tie-breakers (cgid_types.hpp:31-39); three
+    # scatter-max passes resolve the lexicographic key
+    idx1 = jnp.where(valid, gid * frag_cap + frag, n_rg * frag_cap)
+    T1 = n_rg * frag_cap + 1
+    t_i = jnp.full(T1, -1, jnp.int32).at[idx1].max(ibits)
+    w1 = valid & (ibits == t_i[idx1])
+    t_s = jnp.full(T1, -1, jnp.int32).at[idx1].max(
+        jnp.where(w1, sid, -1))
+    w2 = w1 & (sid == t_s[idx1])
+    t_p = jnp.full(T1, -1, jnp.int32).at[idx1].max(
+        jnp.where(w2, pos, -1))
+    keep1 = w2 & (pos == t_p[idx1])
+
+    # 2-way fold: running max identity per (slot, global ref bin)
+    B_tot = tab.shape[1]
+    bin_id = bin_start[jnp.clip(sid, 0, bin_start.shape[0] - 2)] \
+        + pos // (frag_len - 20)
+    slot = jnp.where(keep1, (qno % n_slots), 0)
+    idx2 = jnp.where(keep1, slot * B_tot + bin_id, n_slots * B_tot)
+    tab = tab.reshape(-1).at[jnp.minimum(idx2, n_slots * B_tot - 1)].max(
+        jnp.where(keep1, ibits, -1)).reshape(n_slots, B_tot)
+    return tab
+
+
 @functools.lru_cache(maxsize=None)
 def _update_jit(frag_len: int, n_slots: int, n_rg: int, frag_cap: int,
                 donate: bool = True):
-    """Per-batch table fold: exact 1-way dedupe + 2-way scatter-max.
-
-    Static dims: fragment capacity (1-way key space), ref-genome count,
-    slot count.  The bin table is donated so the fold is in-place in HBM.
-    """
+    """Per-batch table fold as a standalone program (see update_tab)."""
     import jax
-    import jax.numpy as jnp
 
     def f(tab, packed, n_valid, excl_frag, genome_of_seq, bin_start,
           ident_lut):
-        frag, qno, qsid, sid, shared, sketch, pos = (packed[i]
-                                                     for i in range(7))
-        U = sid.shape[0]
-        valid = (jnp.arange(U, dtype=jnp.int32) < n_valid) \
-            & ~excl_frag[jnp.clip(frag, 0, excl_frag.shape[0] - 1)]
-        ident = ident_lut[jnp.clip(sketch, 0, ident_lut.shape[0] - 1),
-                          jnp.clip(shared, 0, ident_lut.shape[1] - 1)]
-        ibits = jnp.where(valid, ident, jnp.float32(0)).view(jnp.int32)
-        ibits = jnp.where(valid, ibits, -1)
-        gid = genome_of_seq[jnp.clip(sid, 0, genome_of_seq.shape[0] - 1)]
-
-        # exact 1-way: best (ident, sid, pos) per (refGenome, fragment) —
-        # the overwrite law of computeCoreIdentity.hpp:212-232 with
-        # cmp_query_bucket tie-breakers (cgid_types.hpp:31-39); three
-        # scatter-max passes resolve the lexicographic key
-        idx1 = jnp.where(valid, gid * frag_cap + frag, n_rg * frag_cap)
-        T1 = n_rg * frag_cap + 1
-        t_i = jnp.full(T1, -1, jnp.int32).at[idx1].max(ibits)
-        w1 = valid & (ibits == t_i[idx1])
-        t_s = jnp.full(T1, -1, jnp.int32).at[idx1].max(
-            jnp.where(w1, sid, -1))
-        w2 = w1 & (sid == t_s[idx1])
-        t_p = jnp.full(T1, -1, jnp.int32).at[idx1].max(
-            jnp.where(w2, pos, -1))
-        keep1 = w2 & (pos == t_p[idx1])
-
-        # 2-way fold: running max identity per (slot, global ref bin)
-        B_tot = tab.shape[1]
-        bin_id = bin_start[jnp.clip(sid, 0, bin_start.shape[0] - 2)] \
-            + pos // (frag_len - 20)
-        slot = jnp.where(keep1, (qno % n_slots), 0)
-        idx2 = jnp.where(keep1, slot * B_tot + bin_id, n_slots * B_tot)
-        tab = tab.reshape(-1).at[jnp.minimum(idx2, n_slots * B_tot - 1)].max(
-            jnp.where(keep1, ibits, -1)).reshape(n_slots, B_tot)
-        return tab
+        return update_tab(tab, packed, n_valid, excl_frag, genome_of_seq,
+                          bin_start, ident_lut, frag_len, n_slots, n_rg,
+                          frag_cap)
 
     return jax.jit(f, donate_argnums=(0,) if donate else ())
+
+
+@functools.lru_cache(maxsize=None)
+def _finalize_all_jit(n_slots: int, n_qg: int, n_rg: int,
+                      donate: bool = True):
+    """All-slot finalize: fold every query slot's bin row into the
+    (Gq, Gr) accumulators in ONE dispatch (zero-fetch driver path)."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(tab, acc_counts, acc_sums, gid_of_bin):
+        rows = tab[:n_qg]                       # (n_qg, B_tot)
+        occupied = rows >= 0
+        ident = jnp.where(occupied, rows.view(jnp.float32), 0.0)
+        seg = jnp.where(occupied, gid_of_bin[None, :], n_rg)
+        # per-query segment sums over ref genomes: one flat segment_sum
+        seg_flat = (jnp.arange(n_qg, dtype=jnp.int32)[:, None]
+                    * (n_rg + 1) + seg).reshape(-1)
+        cnt = jax.ops.segment_sum(
+            occupied.astype(jnp.int32).reshape(-1), seg_flat,
+            num_segments=n_qg * (n_rg + 1)).reshape(n_qg, n_rg + 1)[:, :n_rg]
+        sm = jax.ops.segment_sum(
+            ident.reshape(-1), seg_flat,
+            num_segments=n_qg * (n_rg + 1)).reshape(n_qg, n_rg + 1)[:, :n_rg]
+        tab = jnp.full_like(tab, -1)
+        return tab, acc_counts + cnt, acc_sums + sm
+
+    return jax.jit(f, donate_argnums=(0, 1, 2) if donate else ())
 
 
 @functools.lru_cache(maxsize=None)
@@ -196,6 +238,7 @@ def _finalize_jit(n_slots: int, n_qg: int, n_rg: int, donate: bool = True):
     import jax.numpy as jnp
 
     def f(tab, acc_counts, acc_sums, qno, gid_of_bin):
+        qno = qno[0, 0]                 # (1, 1) cell
         slot = qno % n_slots
         row = jax.lax.dynamic_slice_in_dim(tab, slot, 1, 0)[0]
         occupied = row >= 0
@@ -256,17 +299,30 @@ class StreamingCGI:
         self._sums = jnp.asarray(
             np.zeros((self.n_qg, self.n_rg), np.float32))
 
-    def update(self, packed, n_valid, excl_frag) -> None:
-        """Fold one batch's packed (7, U) device block.  ``n_valid`` may be
-        a device scalar; ``excl_frag`` is a (F,) bool mask of fragments
-        whose rows must be ignored (host fallback re-injects them)."""
+    def update(self, packed, n_valid, excl_frag=None) -> None:
+        """Fold one batch's packed (7, U) device block.
+
+        ``n_valid``: host int, or a DEVICE array whose flat element 0 is
+        the valid-row count (the mapper's counts vector — the zero-fetch
+        path).  ``excl_frag``: (F,) bool mask of fragments whose rows
+        must be ignored (host fallback re-injects them); None means none
+        (the mapper already excluded overflowed fragments on device)."""
         import jax.numpy as jnp
 
+        from fastani_tpu.utils.jitops import cell
+
+        if isinstance(n_valid, (int, np.integer)):
+            n_valid = cell(int(n_valid))
+        if excl_frag is None:
+            if getattr(self, "_no_excl", None) is None \
+                    or self._no_excl.shape[0] != self.frag_cap:
+                self._no_excl = jnp.asarray(np.zeros(self.frag_cap, bool))
+            excl = self._no_excl
+        else:
+            excl = jnp.asarray(np.asarray(excl_frag, bool))
         fn = _update_jit(self.frag_len, self.n_slots, self.n_rg,
                          self.frag_cap, self.donate)
-        self._tab = fn(self._tab, packed,
-                       jnp.asarray(np.int32(n_valid)),
-                       jnp.asarray(np.asarray(excl_frag, bool)), self._gos,
+        self._tab = fn(self._tab, packed, n_valid, excl, self._gos,
                        self._bin_start, self._lut)
 
     def inject(self, rows: np.ndarray) -> None:
@@ -282,10 +338,24 @@ class StreamingCGI:
         self.update(jnp.asarray(buf), n, np.zeros(self.frag_cap, bool))
 
     def finalize_query(self, qno: int) -> None:
+        from fastani_tpu.utils.jitops import cell
+
         fn = _finalize_jit(self.n_slots, self.n_qg, self.n_rg, self.donate)
         self._tab, self._counts, self._sums = fn(
-            self._tab, self._counts, self._sums, np.int32(qno),
+            self._tab, self._counts, self._sums, cell(int(qno)),
             self._gid_of_bin)
+
+    def finalize_all(self):
+        """One-dispatch finalize for the NO-RECYCLE mode (n_slots ==
+        n_query_genomes, each query genome owns its slot): a single
+        segment reduction of the whole bin table replaces n_qg
+        finalize_query dispatches.  Requires that no slot was recycled
+        and that no finalize_query was issued for these queries."""
+        assert self.n_slots >= self.n_qg, "finalize_all needs slot-per-query"
+        fn = _finalize_all_jit(self.n_slots, self.n_qg, self.n_rg,
+                               self.donate)
+        self._tab, self._counts, self._sums = fn(
+            self._tab, self._counts, self._sums, self._gid_of_bin)
 
     def result(self):
         return np.asarray(self._counts), np.asarray(self._sums)

@@ -126,6 +126,14 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
     F = frags.shape[0]
     k, w, l = cfg.kmer_size, cfg.window_size, cfg.frag_len
 
+    # scalars arrive as (1, 1) cells (rank-0 jit inputs de-async the
+    # tunneled client — utils/jitops docstring); unpack at trace time
+    from fastani_tpu.utils.jitops import uncell
+
+    n_occ = uncell(n_occ) if n_occ is not None else None
+    freq_threshold = uncell(freq_threshold) if freq_threshold is not None \
+        else None
+
     qh, s, sk_over = mapping.sketch_fragments(xp, frags, k, w, cfg.sketch_cap)
     # freq_threshold may be a traced per-shard scalar (the reference
     # computes the histogram threshold per sketch split, winSketch.hpp:199-248)
@@ -270,7 +278,7 @@ def map_step_packed(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
                     mi_hash, mi_sid, mi_wpos, seq_start, min_hits_lut,
                     gate_lut, n_occ=None, occ_packed=None, mi_packed=None,
                     mi_prev=None, mi_nxt=None, occ_lut=None, mi_lut=None,
-                    qno_row=None, qsid_row=None):
+                    qno_row=None, qsid_row=None, row_valid=None):
     """map_step + device-side compaction for host consumption.
 
     The session TPU's device->host link runs at ~1 MB/s with ~30 ms
@@ -287,9 +295,23 @@ def map_step_packed(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
                    occ_packed=occ_packed, mi_packed=mi_packed,
                    mi_prev=mi_prev, mi_nxt=mi_nxt, occ_lut=occ_lut,
                    mi_lut=mi_lut)
-    keep = out["valid"]
-    corder = jnp.argsort(jnp.where(keep, 0, 1).astype(jnp.int32), stable=True)
+    F = frags.shape[0]
     frag = out["frag"]
+    # per-fragment fallback mask ON DEVICE: a fragment whose caps
+    # overflowed contributes no device rows (its exact results come from
+    # the host fallback path); computing the exclusion here lets the
+    # device-CGI driver run a ZERO-FETCH steady loop — masks are checked
+    # once per run, not per batch (utils/jitops docstring)
+    fb_l2 = jnp.zeros(F, bool).at[jnp.clip(frag, 0, F - 1)].max(
+        out["l2_overflow"])
+    fallback_mask = (out["frag_sketch_overflow"] | out["l1_overflow"]
+                     | fb_l2 | out["unit_drop_frag"])
+    if row_valid is not None:
+        fallback_mask = fallback_mask & row_valid
+    keep = out["valid"] & ~fallback_mask[jnp.clip(frag, 0, F - 1)]
+    if row_valid is not None:
+        keep = keep & row_valid[jnp.clip(frag, 0, F - 1)]
+    corder = jnp.argsort(jnp.where(keep, 0, 1).astype(jnp.int32), stable=True)
     qno = jnp.zeros_like(frag) if qno_row is None else qno_row[frag]
     qsid = frag if qsid_row is None else qsid_row[frag]
     packed = jnp.stack([
@@ -304,8 +326,9 @@ def map_step_packed(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
         out["max_hits"], out["max_groups"], out["max_s"], out["max_span"],
         out["n_units"]])
     return dict(
-        packed=packed,                              # (5, U_cap) valid-first
+        packed=packed,                              # (7, U_cap) valid-first
         counts=counts,                              # (10,)
+        fallback_mask=fallback_mask,                # (F,) bool, on device
         frag_sketch_overflow=out["frag_sketch_overflow"],
         l1_overflow=out["l1_overflow"],
         l2_overflow=out["l2_overflow"],
@@ -362,16 +385,25 @@ class JitMapper:
         # pow-2 bucket the index arrays so one compiled executable serves
         # any index size (shape changes would otherwise force a ~3 min
         # XLA:TPU recompile per workload).  Device-built indexes arrive
-        # pre-padded (possibly beyond pow2(M)); keep their shape.  The
-        # l2_entry_cap margin lets L2 window reads be contiguous
-        # dynamic-slices (never clipped at the tail).
-        M = index.num_entries
-        Mp = max(128,
-                 1 << max(M + params.l2_entry_cap - 1, 1).bit_length(),
-                 len(index.occ_hash))
+        # pre-padded with a >= 2048-entry margin past the true count
+        # (device_build out_size), so their shape is used AS IS and the
+        # true count stays on device — this init performs NO device->host
+        # fetch (the first fetch permanently degrades dispatch latency,
+        # utils/jitops docstring).  The l2_entry_cap margin lets L2
+        # window reads be contiguous dynamic-slices (never clipped).
         _PINF = np.int32(2**30)
 
         from fastani_tpu.utils import jitops
+
+        if index.is_device_resident():
+            Mp = max(128, len(index.occ_hash))
+            self._n_occ = index.n_occ_cell()
+        else:
+            M = index.num_entries
+            Mp = max(128,
+                     1 << max(M + params.l2_entry_cap - 1, 1).bit_length(),
+                     len(index.occ_hash))
+            self._n_occ = jitops.cell(M)
 
         def pad(a, fill, dtype):
             if isinstance(a, np.ndarray):
@@ -381,8 +413,6 @@ class JitMapper:
             # device-resident: pad in HBM via a jitted program (eager ops
             # destabilize the tunneled client — utils/jitops docstring)
             return jitops.pad_tail(a, Mp, int(fill))
-
-        self._n_occ = jnp.int32(M)
         self._occ_hash = pad(index.occ_hash, 0xFFFFFFFF, np.uint32)
         self._occ_sid = pad(index.occ_seqid, _PINF, np.int32)
         self._occ_wpos = pad(index.occ_wpos, _PINF, np.int32)
@@ -395,39 +425,42 @@ class JitMapper:
         if self.cfg.wpos_bits is not None:
             bits = self.cfg.wpos_bits
 
+            # n_occ is an ARGUMENT, never a closure: tracing a jit that
+            # closes over a concrete device array embeds it as a literal
+            # via a hidden device->host read — the de-async trigger
+            # (utils/jitops docstring)
             @jax.jit
-            def _pack(sid, wpos):
+            def _pack(sid, wpos, n_occ):
                 idx = jnp.arange(sid.shape[0], dtype=jnp.int32)
                 p = (sid.astype(jnp.uint32) << bits) | wpos.astype(jnp.uint32)
-                return jnp.where(idx < self._n_occ, p, jnp.uint32(0xFFFFFFFF))
+                return jnp.where(idx < n_occ[0, 0], p,
+                                 jnp.uint32(0xFFFFFFFF))
 
-            self._occ_packed = _pack(self._occ_sid, self._occ_wpos)
-            self._mi_packed = _pack(self._mi_sid, self._mi_wpos)
+            self._occ_packed = _pack(self._occ_sid, self._occ_wpos,
+                                     self._n_occ)
+            self._mi_packed = _pack(self._mi_sid, self._mi_wpos,
+                                    self._n_occ)
         else:
             self._occ_packed = self._occ_hash  # unused placeholder
             self._mi_packed = self._mi_hash
         # bucket LUTs for the per-batch searchsorted probes: one-time
-        # device build + a tiny host fetch to fix the (static) descent
-        # round count; rounds are ceil'd to even so near-identical indexes
-        # reuse the compiled step
+        # device build; the descent round count is derived ON DEVICE from
+        # the lut's max bucket width inside each probe (a fori_loop with a
+        # traced trip count — ops/xputils.lut_searchsorted rounds=None),
+        # so no host fetch is needed to fix a static unroll
         from fastani_tpu.ops import xputils
 
         @jax.jit
         def _lut_of(table, n):
-            return jnp.minimum(xputils.build_prefix_lut(jnp, table), n)
+            return jnp.minimum(xputils.build_prefix_lut(jnp, table), n[0, 0])
 
         self._occ_lut = _lut_of(self._occ_hash, self._n_occ)
-        occ_rounds = -(-max(xputils.lut_rounds(jitops.fetch(self._occ_lut)),
-                            4) // 2) * 2
         if self.cfg.wpos_bits is not None:
             self._mi_lut = _lut_of(self._mi_packed, self._n_occ)
-            mi_rounds = -(-max(xputils.lut_rounds(jitops.fetch(self._mi_lut)),
-                               4) // 2) * 2
         else:
             self._mi_lut = None
-            mi_rounds = 0
-        self.cfg = dataclasses.replace(self.cfg, occ_rounds=occ_rounds,
-                                       mi_rounds=mi_rounds)
+        self.cfg = dataclasses.replace(self.cfg, occ_rounds=None,
+                                       mi_rounds=None)
 
         # per-entry previous/next same-(hash, seqId) occurrence links: the
         # L2 event walk decides distinct-membership changes from them
@@ -437,12 +470,94 @@ class JitMapper:
 
         self._mi_prev, self._mi_nxt = jax.jit(l2walk.prev_next_global)(
             self._mi_hash, self._mi_sid)
-        S = len(index.seq_start)
+        # seq_start is DEAD on the jitted path (the L2 event walk locates
+        # windows from begin_end / packed searches, models/l2walk.py) —
+        # pass a zero dummy of the right shape rather than fetching the
+        # device build's deferred per-contig spans
+        S = len(index.metadata) + 1
         Sp = max(8, 1 << max(S - 1, 1).bit_length())
-        ss = np.full(Sp, index.seq_start[-1] if S else 0, np.int64)
-        ss[:S] = index.seq_start
+        if index.seq_start is not None:
+            ss = np.full(Sp, index.seq_start[-1] if S else 0, np.int64)
+            ss[:len(index.seq_start)] = index.seq_start
+        else:
+            ss = np.zeros(Sp, np.int64)
         self._seq_start = jnp.asarray(ss)
         self._fn = jax.jit(functools.partial(map_step_packed, self.cfg))
+
+    # ---- fused multi-batch stream step -------------------------------------
+
+    def fused_stream_fn(self, K: int, cgi):
+        """ONE jitted program that maps K fragment batches and folds each
+        into the CGI bin table via a lax.scan — K batches per dispatch
+        instead of 2K dispatches.  Deep async dispatch queues are
+        pathological on this platform (~2 s/program past ~8-16 in
+        flight, measured round 4) and any completion probe degrades the
+        client permanently, so the ONLY safe shape is few, large
+        programs (utils/jitops docstring).
+
+        Returns f(frags_k (K,B,L) u8, qno_k (K,B) i32, qsid_k (K,B) i32,
+        rv_k (K,B) bool, tab) -> (tab', counts_k (K,10), fb_k (K,B));
+        tab is donated.
+        """
+        key = (K, cgi.n_slots, cgi.n_rg, cgi.frag_cap)
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        if key in cache:
+            return cache[key]
+        from fastani_tpu.models import device_cgi
+
+        cfg = self.cfg
+        frag_len = self.params.frag_len
+        n_slots, n_rg, frag_cap = cgi.n_slots, cgi.n_rg, cgi.frag_cap
+        packed_mode = cfg.wpos_bits is not None
+
+        def f(frags_k, qno_k, qsid_k, rv_k, tab, occ_hash, occ_sid,
+              occ_wpos, mi_hash, mi_sid, mi_wpos, seq_start, min_hits,
+              gate, n_occ, occ_packed, mi_packed, mi_prev, mi_nxt,
+              occ_lut, mi_lut, gos, bin_start, ident_lut):
+            no_excl = jnp.zeros(frag_cap, bool)
+
+            def body(tab, xs):
+                frags, qno_row, qsid_row, rv = xs
+                out = map_step_packed(
+                    cfg, frags, occ_hash, occ_sid, occ_wpos, mi_hash,
+                    mi_sid, mi_wpos, seq_start, min_hits, gate,
+                    n_occ=n_occ,
+                    occ_packed=occ_packed if packed_mode else None,
+                    mi_packed=mi_packed if packed_mode else None,
+                    mi_prev=mi_prev, mi_nxt=mi_nxt, occ_lut=occ_lut,
+                    mi_lut=mi_lut if packed_mode else None,
+                    qno_row=qno_row, qsid_row=qsid_row, row_valid=rv)
+                tab = device_cgi.update_tab(
+                    tab, out["packed"], out["counts"], no_excl, gos,
+                    bin_start, ident_lut, frag_len, n_slots, n_rg,
+                    frag_cap)
+                return tab, (out["counts"], out["fallback_mask"])
+
+            tab, (counts_k, fb_k) = jax.lax.scan(
+                body, tab, (frags_k, qno_k, qsid_k, rv_k))
+            return tab, counts_k, fb_k
+
+        fn = jax.jit(f, donate_argnums=(4,))
+        cache[key] = fn
+        return fn
+
+    def dispatch_fused(self, fn, frags_k, qno_k, qsid_k, rv_k, cgi):
+        """Enqueue one fused K-batch program; updates cgi._tab in place."""
+        packed = self.cfg.wpos_bits is not None
+        tab, counts_k, fb_k = fn(
+            jnp.asarray(frags_k), jnp.asarray(qno_k), jnp.asarray(qsid_k),
+            jnp.asarray(rv_k), cgi._tab, self._occ_hash, self._occ_sid,
+            self._occ_wpos, self._mi_hash, self._mi_sid, self._mi_wpos,
+            self._seq_start, self._min_hits, self._gate, self._n_occ,
+            self._occ_packed if packed else self._occ_hash,
+            self._mi_packed if packed else self._mi_hash,
+            self._mi_prev, self._mi_nxt, self._occ_lut,
+            self._mi_lut if packed else self._occ_lut,
+            cgi._gos, cgi._bin_start, cgi._lut)
+        cgi._tab = tab
+        return counts_k, fb_k
 
     # ---- async two-phase interface -----------------------------------------
 
@@ -467,11 +582,17 @@ class JitMapper:
             out[:F] = m
             return jnp.asarray(out)
 
+        # always an array (an all-True fast path would trace a SECOND
+        # program variant — one extra multi-minute XLA:TPU compile)
+        rv = np.zeros(B, bool)
+        rv[:F] = True
+        row_valid = jnp.asarray(rv)
         return self._dispatch_with(self.cfg, self._fn, frags_u8, F,
-                                   pad_map(qno_row), pad_map(qsid_row))
+                                   pad_map(qno_row), pad_map(qsid_row),
+                                   row_valid)
 
     def _dispatch_with(self, cfg, fn, frags_u8: np.ndarray, F: int,
-                       qno_row=None, qsid_row=None) -> dict:
+                       qno_row=None, qsid_row=None, row_valid=None) -> dict:
         packed = (cfg.wpos_bits is not None)
         out = fn(jnp.asarray(frags_u8), self._occ_hash, self._occ_sid,
                  self._occ_wpos, self._mi_hash, self._mi_sid,
@@ -480,7 +601,8 @@ class JitMapper:
                  self._occ_packed if packed else None,
                  self._mi_packed if packed else None,
                  self._mi_prev, self._mi_nxt, self._occ_lut,
-                 self._mi_lut if packed else None, qno_row, qsid_row)
+                 self._mi_lut if packed else None, qno_row, qsid_row,
+                 row_valid)
         return dict(out=out, F=F)
 
     def collect(self, handle: dict) -> Dict[str, np.ndarray]:

@@ -292,6 +292,162 @@ def map_queries_batched(queries: List[QueryFragments], index: ReferenceIndex,
     return out_list
 
 
+@dataclasses.dataclass
+class CGIRunHandle:
+    """In-flight zero-fetch device-CGI run (stream phase done, nothing
+    fetched): all listed arrays are device-resident."""
+    cgi: object                 # StreamingCGI, slot-per-query
+    fb_masks: list              # per-chunk (K, B) bool fallback masks
+    counts_list: list           # per-chunk (K, 10) diagnostics vectors
+    stream: "FragmentStream"
+    starts: list
+    n_query_genomes: int
+    n_ref_genomes: int
+
+    def block(self):
+        """Best-effort wait for enqueued device work (NO transfer).
+        NOTE: block_until_ready is a no-op under the axon plugin in
+        async mode — honest timing must span enqueue through the first
+        readout fetch (bench.py does)."""
+        import jax
+
+        jax.block_until_ready(self.cgi._tab)
+
+
+def map_queries_cgi_stream(queries, index: ReferenceIndex,
+                           params: Parameters, jit_mapper,
+                           n_query_genomes: int, n_ref_genomes: int,
+                           fuse_k: int = 16) -> CGIRunHandle:
+    """ZERO-FETCH stream phase of the device-CGI throughput path: enqueue
+    the run as FEW, LARGE programs — each fused program maps fuse_k
+    fragment batches and folds them into the CGI bin table via lax.scan
+    (models/jitmap.fused_stream_fn) — without a single device->host
+    transfer.  Rationale (measured, round 4): the first fetch of any
+    buffer permanently degrades the tunneled client's dispatch AND
+    transfer latency 15-250x, and deep async dispatch queues cost ~2 s
+    per program past ~8-16 in flight, so the only fast shape is a
+    shallow queue of fused programs with ONE readout at the end
+    (map_queries_cgi_finish).  Requires the slot-per-query bin table to
+    fit (the caller checks); the reference's equivalent aggregation is
+    computeCoreIdentity.hpp:166-298 on host memory."""
+    import jax
+
+    from fastani_tpu.models import device_cgi
+
+    B = params.frag_batch
+    L = params.frag_len
+    stream = queries if isinstance(queries, FragmentStream) \
+        else FragmentStream(queries, params)
+    F = stream.F
+    starts = list(range(0, F, B))
+    cgi = device_cgi.StreamingCGI(
+        index, params, n_query_genomes, n_ref_genomes,
+        n_slots=max(n_query_genomes, 1), frag_cap=B,
+        donate=jax.default_backend() == "tpu")
+    fn = jit_mapper.fused_stream_fn(fuse_k, cgi)
+    fb_masks, counts_list = [], []
+    for c0 in range(0, max(len(starts), 1), fuse_k):
+        grp = starts[c0:c0 + fuse_k]
+        frags_k = np.zeros((fuse_k, B, L), np.uint8)
+        qno_k = np.zeros((fuse_k, B), np.int32)
+        qsid_k = np.zeros((fuse_k, B), np.int32)
+        rv_k = np.zeros((fuse_k, B), bool)
+        for j, b0 in enumerate(grp):
+            batch, qno_row, gid_row, n_used = stream.make_batch(b0, B)
+            frags_k[j] = batch
+            qno_k[j] = qno_row
+            qsid_k[j] = gid_row
+            rv_k[j, :n_used] = True
+        counts_k, fb_k = jit_mapper.dispatch_fused(
+            fn, frags_k, qno_k, qsid_k, rv_k, cgi)
+        fb_masks.append(fb_k)
+        counts_list.append(counts_k)
+        if grp:
+            nb = grp[-1] + B
+            stream.evict_up_to(stream.qno_of_row(nb) if nb < F
+                               else n_query_genomes)
+    return CGIRunHandle(cgi, fb_masks, counts_list, stream, starts,
+                        n_query_genomes, n_ref_genomes)
+
+
+def map_queries_cgi_finish(handle: CGIRunHandle, index: ReferenceIndex,
+                           params: Parameters, jit_mapper,
+                           stats: Optional[dict] = None):
+    """Readout phase: the run's FIRST device->host fetches happen here —
+    deferred build-overflow flag, fallback masks, diagnostics — then the
+    one-dispatch finalize and the (Gq, Gr) result fetch."""
+    from fastani_tpu.utils import jitops
+
+    cgi, stream, starts = handle.cgi, handle.stream, handle.starts
+    B = params.frag_batch
+    _t = time.time()
+
+    def _mark(key):
+        nonlocal _t
+        if stats is not None:
+            stats[f"t_{key}"] = round(time.time() - _t, 3)
+        _t = time.time()
+
+    if index.check_build_overflow():
+        # degenerate repeat input: the device index silently dropped
+        # minimizers — rebuild exactly on host and redo (rare)
+        from fastani_tpu.models import jitmap as _jm
+
+        host_index = type(index).build(params)
+        uf = max(1, jit_mapper.cfg.unit_cap // max(B, 1))
+        mapper2 = _jm.JitMapper(params, host_index, unit_factor=uf,
+                                unit_chunk=jit_mapper.cfg.unit_chunk)
+        return map_queries_cgi_device(handle.stream, host_index, params,
+                                      mapper2, handle.n_query_genomes,
+                                      handle.n_ref_genomes, stats=stats)
+    _mark("overflow_check")
+
+    if stats is not None and handle.counts_list:
+        cm = jitops.fetch(jitops._concat()(
+            tuple(handle.counts_list)))[:len(starts)]
+        for i, key in enumerate((
+                "n_valid", "sk_overflow", "l1_overflow", "l2_overflow",
+                "unit_overflow", "max_hits", "max_groups", "max_s",
+                "max_span", "n_units")):
+            stats[key] = int(cm[:, i].max()) if len(cm) else 0
+        stats["batches"] = len(starts)
+        stats["fallback_frags"] = 0
+    _mark("stats_fetch")
+
+    if handle.fb_masks and jitops.any_of(handle.fb_masks):
+        masks = jitops.fetch(jitops._concat()(
+            tuple(handle.fb_masks)))[:len(starts)]
+        from fastani_tpu.ops import stats as _stats
+
+        F = stream.F
+        for i, b0 in enumerate(starts):
+            n_used = min(B, F - b0)
+            fbr = np.nonzero(masks[i][:n_used])[0].astype(np.int32)
+            if not len(fbr):
+                continue
+            if stats is not None:
+                stats["fallback_frags"] = stats.get("fallback_frags", 0) \
+                    + len(fbr)
+            batch, qno_row, gid_row, _n = stream.make_batch(b0, B)
+            bm = glue.map_fallback_batch(batch[fbr], index, params)
+            if len(bm.frag):
+                _, upper = _stats.identities_for(bm.shared, bm.sketch,
+                                                 params.kmer_size)
+                keep = upper >= params.percentage_identity
+                rows = bm.frag[keep]
+                inj = np.stack([
+                    rows, qno_row[fbr[rows]], gid_row[fbr[rows]],
+                    bm.sid[keep], bm.shared[keep], bm.sketch[keep],
+                    bm.mean_pos[keep]]).astype(np.int32)
+                cgi.inject(inj)
+    _mark("fb_check")
+    cgi.finalize_all()
+    _mark("finalize")
+    res = cgi.result()
+    _mark("result_fetch")
+    return res
+
+
 def map_queries_cgi_device(queries: List[QueryFragments], index: ReferenceIndex,
                            params: Parameters, jit_mapper,
                            n_query_genomes: int, n_ref_genomes: int,
@@ -299,19 +455,31 @@ def map_queries_cgi_device(queries: List[QueryFragments], index: ReferenceIndex,
     """Throughput path: map all queries AND aggregate CGI on device.
 
     Mapping rows never leave the device — each batch contributes its
-    packed (7, U_cap) block to a device-resident accumulator, and one
-    final jitted program (models/device_cgi.cgi_matrices) reduces them to
-    per-genome-pair (count, identity-sum) matrices.  Only those (Gq, Gr)
-    tallies plus a 10-int counts vector per batch cross the ~1 MB/s
-    device->host link, replacing the per-row fetch + Python aggregation
-    (the reference's equivalent work is computeCoreIdentity.hpp:166-298 on
-    host memory).  Per-pair sums are float32 device reductions — final-ulp
-    addition order may differ from the host fold; byte-parity consumers
-    use map_queries_batched + ani.compute_cgi_arrays instead.
+    packed (7, U_cap) block to a device-resident accumulator reduced to
+    per-genome-pair (count, identity-sum) matrices.  Per-pair sums are
+    float32 device reductions — final-ulp addition order may differ from
+    the host fold; byte-parity consumers use map_queries_batched +
+    ani.compute_cgi_arrays instead.
+
+    Two modes:
+      * ZERO-FETCH (default when the bin table fits one slot per query
+        genome): the steady loop performs NO device->host transfer at
+        all — overflow/fallback masks stay on device, the CGI folds the
+        mapper's device counts vector directly, and queries finalize in
+        ONE dispatch at the end.  Rationale: the FIRST fetch of any
+        buffer permanently degrades the tunneled client's dispatch
+        latency ~250x (utils/jitops docstring), so fetches happen
+        exactly once, after the last dispatch.
+      * slot-recycling (stats runs, or Gq x bins too large): per-batch
+        counts fetch, bounded-memory slot ring — the round-3 behavior.
+
+    Reference parity: computeCoreIdentity.hpp:166-298 performs this
+    aggregation on host memory per query file.
     """
     import jax
 
     from fastani_tpu.models import device_cgi
+    from fastani_tpu.utils import jitops
 
     B = params.frag_batch
     stream = queries if isinstance(queries, FragmentStream) \
@@ -323,8 +491,54 @@ def map_queries_cgi_device(queries: List[QueryFragments], index: ReferenceIndex,
     starts = list(range(0, F, B))
     qno_of_row = stream.qno_of_row
 
-    # streaming accumulator: slots recycle, so size the slot ring to the
-    # max distinct query genomes any single batch touches
+    def _rerun_host_exact():
+        # deferred build overflow (degenerate repeat input): rebuild the
+        # index exactly on host and redo the mapping (rare)
+        from fastani_tpu.models import jitmap as _jm
+
+        host_index = type(index).build(params)
+        uf = max(1, jit_mapper.cfg.unit_cap // max(B, 1))
+        mapper2 = _jm.JitMapper(params, host_index, unit_factor=uf,
+                                unit_chunk=jit_mapper.cfg.unit_chunk)
+        return map_queries_cgi_device(stream, host_index, params, mapper2,
+                                      n_query_genomes, n_ref_genomes,
+                                      stats=stats)
+
+    def _inject_fallbacks(b0, frag_rows_mask):
+        # exact batched recompute of overflowed fragments, injected as one
+        # 1-way group (local fragment ids keep per-fragment dedupe)
+        batch, qno_row, gid_row, n_used = stream.make_batch(b0, B)
+        fbr = np.nonzero(frag_rows_mask[:n_used])[0].astype(np.int32)
+        if not len(fbr):
+            return
+        bm = glue.map_fallback_batch(batch[fbr], index, params)
+        if len(bm.frag):
+            from fastani_tpu.ops import stats as _stats
+
+            _, upper = _stats.identities_for(bm.shared, bm.sketch,
+                                             params.kmer_size)
+            keep = upper >= params.percentage_identity
+            rows = bm.frag[keep]
+            inj = np.stack([
+                rows, qno_row[fbr[rows]], gid_row[fbr[rows]],
+                bm.sid[keep], bm.shared[keep], bm.sketch[keep],
+                bm.mean_pos[keep]]).astype(np.int32)
+            cgi.inject(inj)
+
+    # ---- zero-fetch mode ---------------------------------------------------
+    bin_start, gid_of_bin = device_cgi.make_bin_tables(
+        [c.length for c in index.metadata], index.genome_of_seq(),
+        params.frag_len)
+    pure_bytes = n_query_genomes * len(gid_of_bin) * 4
+    pure = pure_bytes <= 512 * 1024 * 1024
+    if pure:
+        handle = map_queries_cgi_stream(stream, index, params, jit_mapper,
+                                        n_query_genomes, n_ref_genomes)
+        return map_queries_cgi_finish(handle, index, params, jit_mapper,
+                                      stats=stats)
+
+    # ---- slot-recycling mode ----------------------------------------------
+    # size the slot ring to the max distinct query genomes per batch
     n_slots = 1
     for b0 in starts:
         n_slots = max(n_slots,
@@ -335,32 +549,15 @@ def map_queries_cgi_device(queries: List[QueryFragments], index: ReferenceIndex,
 
     next_fin = 0  # first not-yet-finalized query genome
 
-    def handle_result(b0, batch, qno_row, gid_row, packed, n_valid, fb):
+    def handle_result(b0, qno_row, gid_row, packed, n_valid, fb):
         nonlocal next_fin
         n_used = min(B, F - b0)
-        excl = np.zeros(B, bool)
-        excl[n_used:] = True                  # zero-padded tail rows
-        fb = [f for f in fb if int(f) < n_used]
+        # device-side exclusion already removed pad/fallback rows
+        cgi.update(packed, n_valid)
         if len(fb):
-            excl[fb] = True
-        cgi.update(packed, n_valid, excl)
-        if len(fb):
-            # batched exact fallback for overflowed fragments, injected as
-            # one 1-way group (local fragment ids keep per-fragment dedupe)
-            fbr = np.asarray(fb, np.int32)
-            bm = glue.map_fallback_batch(batch[fbr], index, params)
-            if len(bm.frag):
-                from fastani_tpu.ops import stats as _stats
-
-                _, upper = _stats.identities_for(bm.shared, bm.sketch,
-                                                 params.kmer_size)
-                keep = upper >= params.percentage_identity
-                rows = bm.frag[keep]
-                inj = np.stack([
-                    rows, qno_row[fbr[rows]], gid_row[fbr[rows]],
-                    bm.sid[keep], bm.shared[keep], bm.sketch[keep],
-                    bm.mean_pos[keep]]).astype(np.int32)
-                cgi.inject(inj)
+            mask = np.zeros(B, bool)
+            mask[[f for f in fb if int(f) < n_used]] = True
+            _inject_fallbacks(b0, mask)
         # close every query genome whose fragments all precede the next
         # batch (slots recycle modulo n_slots)
         nb = b0 + B
@@ -373,15 +570,17 @@ def map_queries_cgi_device(queries: List[QueryFragments], index: ReferenceIndex,
     inflight = []
     for b0 in starts:
         batch, qno_row, gid_row, _n = stream.make_batch(b0, B)
-        inflight.append((b0, batch, qno_row, gid_row,
+        inflight.append((b0, qno_row, gid_row,
                          jit_mapper.dispatch(batch, qno_row, gid_row)))
         if len(inflight) >= 2:
-            p0, bt, qr, gr, h = inflight.pop(0)
-            handle_result(p0, bt, qr, gr,
+            p0, qr, gr, h = inflight.pop(0)
+            handle_result(p0, qr, gr,
                           *jit_mapper.collect_device(h, stats=stats))
-    for p0, bt, qr, gr, h in inflight:
-        handle_result(p0, bt, qr, gr,
+    for p0, qr, gr, h in inflight:
+        handle_result(p0, qr, gr,
                       *jit_mapper.collect_device(h, stats=stats))
+    if index.check_build_overflow():
+        return _rerun_host_exact()
     while next_fin < n_query_genomes:
         cgi.finalize_query(next_fin)
         next_fin += 1
@@ -400,12 +599,35 @@ def run(params: Parameters, backend: str = "numpy",
             f"{params.load_index} in {time.time()-t0:.2f}s: "
             f"{index.num_entries} minimizers")
     else:
+        if backend == "jax":
+            import jax
+
+            if jax.default_backend() == "tpu":
+                from fastani_tpu.utils import jitops
+
+                jitops.engage_sync()   # sync mode IS the fast mode
         build = (ReferenceIndex.build_device if backend == "jax"
                  else ReferenceIndex.build)
         index = build(params)
-        log(f"INFO, fastani_tpu, reference sketched in {time.time()-t0:.2f}s: "
-            f"{index.num_entries} minimizers, {index.num_unique_hashes} unique "
-            f"(window size {params.window_size})")
+        if index._counts2_dev is not None:
+            # device-resident counts stay deferred: fetching them here
+            # would be the process's first device->host transfer and would
+            # permanently degrade dispatch latency for the whole mapping
+            # phase (utils/jitops docstring)
+            log(f"INFO, fastani_tpu, reference sketched in "
+                f"{time.time()-t0:.2f}s (window size {params.window_size}; "
+                f"entry counts deferred on device)")
+        else:
+            log(f"INFO, fastani_tpu, reference sketched in "
+                f"{time.time()-t0:.2f}s: {index.num_entries} minimizers, "
+                f"{index.num_unique_hashes} unique "
+                f"(window size {params.window_size})")
+        # deferred degenerate-repeat overflow: this CLI path fetches
+        # per batch anyway, so resolve the flag up front (exactness)
+        if index.check_build_overflow():
+            log("INFO, fastani_tpu, device build overflowed per-row caps "
+                "(degenerate repeat input); rebuilding exactly on host")
+            index = ReferenceIndex.build(params)
     if params.save_index:
         index.save(params.save_index)
         log(f"INFO, fastani_tpu, reference index saved to {params.save_index}")

@@ -170,23 +170,42 @@ def lut_rounds(lut_np: np.ndarray) -> int:
     return max(int(np.ceil(np.log2(max(mx, 1) + 1))), 1)
 
 
-def lut_searchsorted(xp, table, lut, q, rounds: int, side: str = "left"):
+def lut_searchsorted(xp, table, lut, q, rounds=None, side: str = "left"):
     """searchsorted(table, q, side) via the 2^16-bucket LUT: two LUT
-    gathers + `rounds` binary-descent gather rounds into `table`.
+    gathers + binary-descent gather rounds into `table`.
 
     table (M,) sorted uint32; lut from build_prefix_lut over the SAME
-    array; q any shape uint32; rounds static >= log2(max bucket)."""
+    array; q any shape uint32.  rounds: static int >= log2(max bucket),
+    or None (jax only) to derive the round count ON DEVICE from the
+    lut's max bucket width (a fori_loop with a traced trip count) — the
+    fetch-free form: fetching the lut to size the static unroll costs a
+    device->host transfer, and ANY such transfer permanently degrades
+    the tunneled client's dispatch latency (utils/jitops docstring)."""
     pre = (q >> xp.uint32(16)).astype(xp.int32)
     lo = lut[pre]
     hi = lut[pre + 1]
     M = table.shape[0]
-    for _ in range(rounds):
+
+    def step(lo, hi):
         narrow = lo < hi
         mid = (lo + hi) >> 1
         v = table[xp.clip(mid, 0, max(M - 1, 0))]
         go = (v <= q) if side == "right" else (v < q)
         lo = xp.where(narrow & go, mid + 1, lo)
         hi = xp.where(narrow & ~go, mid, hi)
+        return lo, hi
+
+    if rounds is None:
+        import jax
+
+        nb = (lut[1:] - lut[:-1]).max()             # max bucket width
+        n_rounds = 32 - jax.lax.clz(nb.astype(xp.uint32))  # bit_length(nb)
+        lo, hi = jax.lax.fori_loop(
+            0, n_rounds.astype(xp.int32),
+            lambda i, lh: step(*lh), (lo, hi))
+        return lo
+    for _ in range(rounds):
+        lo, hi = step(lo, hi)
     return lo
 
 

@@ -365,7 +365,8 @@ def make_sharded_rows_step(cfg: jitmap.MapperConfig, mesh: Mesh, s_max: int,
     """
     G = max_local_genomes
     n_q = int(mesh.devices.shape[1])
-    big = jnp.int32(2**30)
+    big = np.int32(2**30)     # np literal: inlined constant, never an
+                              # eager device scalar (jitops docstring)
 
     def local_step(frags, ia, min_hits, gate, ident2d):
         frags2 = frags.reshape(frags.shape[-2:])

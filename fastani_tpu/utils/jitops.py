@@ -11,7 +11,20 @@ dispatches are hazardous in two distinct ways, both measured in round 3:
   XLA knocks the PJRT client out of async dispatch PERMANENTLY: every
   subsequent dispatch of ANY program pays the ~25 ms tunnel round trip
   (0.1 ms -> 25 ms measured on an unrelated matmul).  That one is
-  guarded at the source (ops/pallas_winnow.winnow_rows).
+  guarded at the source (ops/pallas_winnow.winnow_rows);
+* (round 4, bisected with a dispatch-latency canary) the FIRST
+  device->host transfer of ANY buffer — np.asarray, device_get, even
+  copy_to_host_async, any size — permanently degrades the client's
+  dispatch path from ~0.1 ms to ~25-30 ms PER DISPATCH for the rest of
+  the process (no recovery after 20 s idle).  The production design
+  therefore runs ZERO-FETCH steady phases: the index build defers its
+  count/seq_start fetches (index/sketch.py lazy accessors), the map
+  loop keeps counts/overflow masks on device and checks them once per
+  run, and results are fetched exactly once at the end.  Rank-0 device
+  buffers as jit inputs are ALSO avoided (scalars travel as (1, 1)
+  "cells", see ``cell()``/``uncell()``) — scalar plumbing forces eager
+  fetches somewhere downstream, and rank-0 buffers were implicated in
+  the round-3 episodes.
 
 Production paths therefore never run bare jnp ops on device arrays:
 every manipulation goes through one of the jit-compiled callables below
@@ -25,6 +38,60 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+
+
+def cell(v, dtype=np.int32):
+    """Host value -> (1, 1) device array: the safe way to pass a scalar
+    into a jitted program on this platform (rank-0 inputs de-async the
+    client — module docstring).  Unpack inside the jit with x[0, 0]."""
+    import jax.numpy as jnp
+
+    return jnp.asarray(np.full((1, 1), v, dtype))
+
+
+@functools.lru_cache(maxsize=None)
+def _cell_from(i: int):
+    import jax
+
+    return jax.jit(lambda a: a[i].astype("int32").reshape(1, 1))
+
+
+def cell_from(arr, i: int):
+    """Device (1, 1) int32 cell holding arr[i], produced jitted (no
+    device->host fetch, no eager slice)."""
+    return _cell_from(int(i))(arr)
+
+
+def uncell(x):
+    """Inside-jit inverse of cell(): accepts a python int, a rank-0
+    tracer, or a (1, 1) cell and yields a scalar usable in arithmetic."""
+    if isinstance(x, int) or getattr(x, "ndim", 0) == 0:
+        return x
+    return x.reshape(-1)[0]
+
+
+_SYNC_ENGAGED = [False]
+
+
+def engage_sync() -> None:
+    """Deliberately switch the tunneled client into its synchronous
+    dispatch mode with one tiny fetch.
+
+    Counter-intuitive but measured (round 4): the axon client's ASYNC
+    mode is globally pathological — queued program execution runs ~200x
+    slower than sync execution (306 s vs 1.7 s for an identical fused
+    map pass) and host->device transfers crawl at ~0.7 MB/s vs ~39 MB/s
+    in sync mode.  Sync mode costs ~26 ms per dispatch and per transfer,
+    which the engine amortizes with FEW, LARGE programs (fused K-batch
+    scan steps, 35 Mbp index flushes) and mega-batch uploads.  Call this
+    once at process start before any real device work."""
+    if _SYNC_ENGAGED[0]:
+        return
+    _SYNC_ENGAGED[0] = True
+    try:
+        fetch(_identity()(cell(0)))
+    except Exception:
+        pass
 
 
 @functools.cache
@@ -110,14 +177,22 @@ def _any_of():
     import jax
     import jax.numpy as jnp
 
-    return jax.jit(lambda xs: jnp.stack([x.any() for x in xs]).any())
+    return jax.jit(
+        lambda xs: jnp.stack([x.any() for x in xs]).any().reshape(1, 1))
 
 
-def any_of(scalars) -> bool:
-    """bool(any of device bool scalars/arrays) without eager ops."""
-    if not scalars:
+def any_of(flags) -> bool:
+    """bool(any of device bool arrays) without eager ops.
+
+    Inputs MUST be rank >= 1 (producers return (1, 1) cells, not bare
+    scalars): a rank-0 device buffer crossing the jit boundary de-asyncs
+    the client permanently (module docstring)."""
+    if not flags:
         return False
-    return bool(fetch(_any_of()(tuple(scalars))))
+    for x in flags:
+        assert getattr(x, "ndim", 1) >= 1, \
+            "rank-0 device buffer passed to any_of (de-async hazard)"
+    return bool(fetch(_any_of()(tuple(flags))))
 
 
 @functools.lru_cache(maxsize=None)
