@@ -204,9 +204,13 @@ def scaled_caps(n_genomes: int, params) -> None:
     small G."""
     if n_genomes > 48:
         params.cand_cap = 128
-    want_hits = int(1.3 * 280 * n_genomes)          # ~s_avg * G * margin
-    while params.hits_cap < min(want_hits, 32768):
-        params.hits_cap *= 2
+    # observed L1 hits on the bench workload: ~153 per genome at the
+    # 97-99%% identity ladder (max_hits diagnostics, round 4); 240/genome
+    # gives >1.5x headroom.  L1 cost (hit gather + sort + expand) scales
+    # linearly with this width, so over-provisioning is pure slowdown;
+    # an overflow falls back to the exact batched host path.
+    want = max(int(240 * n_genomes), 1024)
+    params.hits_cap = min(1 << (want - 1).bit_length(), 32768)
 
 
 def run_one_shot(paths, frag_batch: int, unit_chunk: int, fuse_k: int,

@@ -135,6 +135,10 @@ def _assemble_jit(p_rows: int, out_size: int):
         j = jnp.arange(_CAP_R, dtype=jnp.int32)[None, :]
         valid = j < cnt[:, None]
         dst = jnp.where(valid, base[:, None] + j, out_size)
+        # out_size is HOST-ESTIMATED (bases * density * margin), not the
+        # pow2 of worst-case piece capacity — halves the global sort and
+        # every downstream array; a (never-observed) underestimate drops
+        # tail entries and raises the deferred overflow flag instead
         mi_hash = jnp.full(out_size + 1, _UMAX, jnp.uint32).at[dst].set(
             h, mode="drop")[:out_size]
         mi_wpos = jnp.full(out_size + 1, _PINF, jnp.int32).at[dst].set(
@@ -144,12 +148,17 @@ def _assemble_jit(p_rows: int, out_size: int):
             sid_b, mode="drop")[:out_size]
         order = jnp.argsort(mi_hash, stable=True)         # pads stay at tail
         total = cnt.sum().astype(jnp.int64)
+        size_over = (total > out_size).reshape(1, 1)
         n_unique = ((mi_hash[order][1:] != mi_hash[order][:-1])
                     & (jnp.arange(out_size - 1, dtype=jnp.int64) + 1 < total)
                     ).sum().astype(jnp.int64) + (total > 0)
+        # occ->mi permutation rides along: prev/next same-(hash, seqId)
+        # links and the bucket LUTs derive from the ALREADY-SORTED occ
+        # arrays + this order, with no further sorts at mapper init
         return (mi_hash, mi_sid, mi_wpos,
                 mi_hash[order], mi_sid[order], mi_wpos[order],
-                jnp.stack([total, n_unique]))
+                order.astype(jnp.int32),
+                jnp.stack([total, n_unique]), size_over)
 
     return jax.jit(f)
 
@@ -432,12 +441,19 @@ def build_device(cls, params: Parameters,
         cnt_stack = jitops.pad_tail(cnt_stack, Pp, 0)
         sid_np = np.concatenate([sid_np, np.zeros(Pp - P, np.int32)])
 
-    # +2048 margin past the worst-case entry count so the mapper can use
-    # len(occ_hash) directly as its padded width (the l2_entry_cap <=
-    # 1022 contiguous-slice margin) without fetching the true count
-    out_size = _pow2(Pp * _CAP_R + 2048)
-    (mi_hash, mi_sid, mi_wpos, occ_hash, occ_sid, occ_wpos,
-     counts2) = _assemble_jit(Pp, out_size)(
+    # output size from the HOST-KNOWN total sequence length: winnow
+    # density concentrates tightly around 2/(w+1), so bases * density *
+    # 1.15 + slack bounds the entry count in practice (an underestimate
+    # raises the deferred overflow flag -> exact host rebuild); the
+    # pow2 of worst-case piece capacity was 3-4x larger and dominated
+    # the assembly sort and every mapper-side array.  The +2048 slack
+    # doubles as the mapper's l2_entry_cap contiguous-slice margin.
+    total_bases = sum(c.length for c in metadata)
+    density = 2.0 / (params.window_size + 1)
+    est = int(total_bases * density * 1.15) + 4096
+    out_size = min(_pow2(est), _pow2(Pp * _CAP_R + 2048))
+    (mi_hash, mi_sid, mi_wpos, occ_hash, occ_sid, occ_wpos, occ_order,
+     counts2, size_over) = _assemble_jit(Pp, out_size)(
         h_stack, wp_stack, cnt_stack, jnp.asarray(sid_np))
 
     # NO device->host fetch here: the first fetch permanently degrades
@@ -445,6 +461,13 @@ def build_device(cls, params: Parameters,
     # Entry counts and per-contig spans stay on device; host consumers
     # (logging, sanity check, save, the exact fallback) materialize them
     # lazily through the index's accessors.
+    if jax.default_backend() != "tpu" and jitops.any_of([size_over]):
+        return cls.build(params, ref_files)        # est undershot (rare)
+    if overflow_cell is not None:
+        overflow_cell = jitops._any_of()((overflow_cell, size_over))
+    else:
+        overflow_cell = size_over
+
     index = cls(params=params, metadata=metadata,
                 sequences_by_file=np.asarray(seq_by_file, np.int32),
                 mi_hash=mi_hash, mi_seqid=mi_sid, mi_wpos=mi_wpos,
@@ -453,5 +476,6 @@ def build_device(cls, params: Parameters,
                 freq_threshold=np.iinfo(np.int32).max)
     index._counts2_dev = counts2
     index._seq_parts = (cnt_stack, sid_np[:P].copy(), P)
-    index._overflow_dev = overflow_cell        # (1, 1) bool or None
+    index._overflow_dev = overflow_cell        # (1, 1) bool
+    index.occ_order = occ_order                # occ->mi permutation (device)
     return index

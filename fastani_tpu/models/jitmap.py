@@ -468,8 +468,16 @@ class JitMapper:
         # slidingMap.hpp:137-211); one-time device argsort at init
         from fastani_tpu.models import l2walk
 
-        self._mi_prev, self._mi_nxt = jax.jit(l2walk.prev_next_global)(
-            self._mi_hash, self._mi_sid)
+        occ_order = getattr(index, "occ_order", None)
+        if occ_order is not None and len(index.occ_hash) == Mp:
+            # device build saved its assembly permutation: prev/next
+            # links derive from the already-sorted occ view, no re-sort
+            self._mi_prev, self._mi_nxt = jax.jit(
+                functools.partial(l2walk.prev_next_global))(
+                self._mi_hash, self._mi_sid, occ_order)
+        else:
+            self._mi_prev, self._mi_nxt = jax.jit(l2walk.prev_next_global)(
+                self._mi_hash, self._mi_sid)
         # seq_start is DEAD on the jitted path (the L2 event walk locates
         # windows from begin_end / packed searches, models/l2walk.py) —
         # pass a zero dummy of the right shape rather than fetching the

@@ -43,19 +43,23 @@ _CLAMP = np.int32(1 << 28)   # event values clamp here; anything >= is a pad
 _NOSCORE = np.int32(-5)      # below the best-tracker init (-1)
 
 
-def prev_next_global(mi_hash, mi_sid):
+def prev_next_global(mi_hash, mi_sid, order=None):
     """Per-entry previous/next same-(hash, seqId) occurrence (build order).
 
     The build-order array is sorted by (seqId, wpos); a stable argsort by
     hash therefore groups equal hashes with same-seqId runs contiguous and
     wpos-ascending, so adjacent pairs give the immediate neighbours.  Pads
     (hash UMAX) link only to each other and are never dereferenced.
+    ``order``: the stable hash argsort if the caller already has it (the
+    device build saves its assembly permutation as index.occ_order, which
+    skips re-sorting the whole table at mapper init).
     Returns (prev, nxt) int32 arrays: prev=-1 / nxt=2^30 when none.
     """
     import jax.numpy as jnp
 
     M = mi_hash.shape[0]
-    order = jnp.argsort(mi_hash, stable=True).astype(jnp.int32)
+    if order is None:
+        order = jnp.argsort(mi_hash, stable=True).astype(jnp.int32)
     oh = mi_hash[order]
     os_ = mi_sid[order]
     same = (oh[1:] == oh[:-1]) & (os_[1:] == os_[:-1])

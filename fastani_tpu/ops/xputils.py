@@ -150,13 +150,16 @@ def build_prefix_lut(xp, table, n_valid=None):
     One-time O(M + 65k) cost; afterwards every searchsorted over `table`
     needs only ceil(log2(max bucket size)) gather rounds instead of
     re-sorting the table per query batch (XLA's method="sort" sorts
-    table+queries every call — the round-2 L1 bottleneck)."""
+    table+queries every call — the round-2 L1 bottleneck).  On jax the
+    lut is an exclusive-prefix histogram of the top 16 bits (the table
+    is sorted, so bucket p starts right after all smaller buckets) —
+    one scatter-add instead of an XLA sort-based searchsorted."""
     M = table.shape[0]
     if is_jax(xp):
-        bounds = (xp.arange(65536, dtype=xp.uint32) << xp.uint32(16))
-        lut = xp.searchsorted(table, bounds, side="left",
-                              method="sort").astype(xp.int32)
-        lut = xp.concatenate([lut, xp.full((1,), M, xp.int32)])
+        hist = xp.zeros(65536, xp.int32).at[
+            (table >> xp.uint32(16)).astype(xp.int32)].add(1)
+        lut = xp.concatenate(
+            [xp.zeros((1,), xp.int32), xp.cumsum(hist).astype(xp.int32)])
     else:
         bounds = (np.arange(65536, dtype=np.uint64) << np.uint64(16)).astype(np.uint32)
         lut = np.searchsorted(table, bounds, side="left").astype(np.int32)

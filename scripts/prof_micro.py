@@ -34,8 +34,19 @@ def t_chain(fn, *a, reps=8):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--genomes", type=int, default=8)
+    ap.add_argument("--size", type=int, default=1_000_000)
+    ap.add_argument("--workdir", default=None)
+    a = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
+
+    from fastani_tpu.utils import jitops
+    jax.devices()
+    jitops.engage_sync()     # sync mode = honest per-call timings
 
     from bench import build_workload
     from fastani_tpu.config import Parameters
@@ -45,10 +56,12 @@ def main():
     from fastani_tpu.ops import pallas_winnow as pw
     from fastani_tpu.ops.xputils import lut_searchsorted
 
-    genomes, size, B = 8, 1_000_000, 512
-    wd = tempfile.mkdtemp(prefix="fastani_microprof_")
+    genomes, size, B = a.genomes, a.size, 512
+    wd = a.workdir or tempfile.mkdtemp(prefix="fastani_microprof_")
     paths = build_workload(wd, genomes, size)
+    from bench import scaled_caps
     params = Parameters(frag_batch=B).finalize()
+    scaled_caps(genomes, params)
     params.ref_sequences = list(paths)
     params.query_sequences = list(paths)
     index = ReferenceIndex.build_device(params)
@@ -110,14 +123,12 @@ def main():
 
     # ---- L1 substages ------------------------------------------------------
     @jax.jit
-    def probes(qh):
-        lo = lut_searchsorted(jnp, mapper._occ_hash, mapper._occ_lut, qh,
-                              cfg.occ_rounds, "left")
-        hi = lut_searchsorted(jnp, mapper._occ_hash, mapper._occ_lut, qh,
-                              cfg.occ_rounds, "right")
+    def probes(qh, table, lut):
+        lo = lut_searchsorted(jnp, table, lut, qh, cfg.occ_rounds, "left")
+        hi = lut_searchsorted(jnp, table, lut, qh, cfg.occ_rounds, "right")
         return lo, hi
 
-    dt, (lo, hi) = t_chain(probes, qh)
+    dt, (lo, hi) = t_chain(probes, qh, mapper._occ_hash, mapper._occ_lut)
     row("L1 probes (2x lut descent)", dt)
 
     @jax.jit
@@ -145,11 +156,10 @@ def main():
     row("L1 ragged expand", dt)
 
     @jax.jit
-    def hit_gather(src, hvalid):
-        return jnp.where(hvalid, mapper._occ_packed[src],
-                         jnp.uint32(0xFFFFFFFF))
+    def hit_gather(src, hvalid, packed_tab):
+        return jnp.where(hvalid, packed_tab[src], jnp.uint32(0xFFFFFFFF))
 
-    dt, keys = t_chain(hit_gather, src, hvalid)
+    dt, keys = t_chain(hit_gather, src, hvalid, mapper._occ_packed)
     row("L1 hit gather (packed)", dt, f"({B}x{cfg.hits_cap})")
 
     @jax.jit
@@ -160,15 +170,18 @@ def main():
     row("L1 hit sort (pallas)", dt)
 
     @jax.jit
-    def full_l1(qh, s):
+    def full_l1(qh, s, occ_hash, occ_sid, occ_wpos, n_occ, occ_packed,
+                occ_lut):
         return mapping.l1_candidates(
-            jnp, qh, s, mapper._occ_hash, mapper._occ_sid, mapper._occ_wpos,
+            jnp, qh, s, occ_hash, occ_sid, occ_wpos,
             mapper._min_hits, cfg.freq_threshold, l, cfg.hits_cap,
-            cfg.cand_cap, n_occ=mapper._n_occ, wpos_bits=cfg.wpos_bits,
-            occ_packed=mapper._occ_packed, occ_lut=mapper._occ_lut,
+            cfg.cand_cap, n_occ=n_occ, wpos_bits=cfg.wpos_bits,
+            occ_packed=occ_packed, occ_lut=occ_lut,
             occ_rounds=cfg.occ_rounds, m_values=cfg.m_values)
 
-    dt, l1 = t_chain(full_l1, qh, s)
+    dt, l1 = t_chain(full_l1, qh, s, mapper._occ_hash, mapper._occ_sid,
+                     mapper._occ_wpos, mapper._n_occ, mapper._occ_packed,
+                     mapper._occ_lut)
     row("L1 full", dt)
     canary("L1")
 
@@ -193,17 +206,18 @@ def main():
     u_valid = jnp.arange(cfg.unit_cap, dtype=jnp.int32) < n_valid
 
     @jax.jit
-    def wloc(u_sid, u_start, u_end, u_valid):
+    def wloc(u_sid, u_start, u_end, u_valid, mi_packed, mi_lut, n_occ):
         bits = cfg.wpos_bits
         sid_m = jnp.where(u_valid, u_sid, 0).astype(jnp.uint32)
         key = lambda pos: (sid_m << bits) | pos.astype(jnp.uint32)
         q2 = jnp.concatenate([key(u_start), key(u_end + l)])
-        r2 = lut_searchsorted(jnp, mapper._mi_packed, mapper._mi_lut, q2,
+        r2 = lut_searchsorted(jnp, mi_packed, mi_lut, q2,
                               cfg.mi_rounds, "left")
-        r2 = jnp.minimum(r2, mapper._n_occ)
+        r2 = jnp.minimum(r2, n_occ.reshape(-1)[0])
         return r2[: u_sid.shape[0]], r2[u_sid.shape[0]:]
 
-    dt, (b0, eL) = t_chain(wloc, u_sid, u_start, u_end, u_valid)
+    dt, (b0, eL) = t_chain(wloc, u_sid, u_start, u_end, u_valid,
+                           mapper._mi_packed, mapper._mi_lut, mapper._n_occ)
     row("window locate (lut)", dt)
 
     # ---- L2: one chunk events + walk --------------------------------------
@@ -211,15 +225,18 @@ def main():
     sl = lambda a: a[:U]
 
     @jax.jit
-    def ev_only(qh, s, u_frag, u_sid, u_start, u_end, u_valid, b0, eL):
+    def ev_only(qh, s, u_frag, u_sid, u_start, u_end, u_valid, b0, eL,
+                mi_hash, mi_sid, mi_wpos, mi_prev, mi_nxt):
         return l2walk.build_events(
             qh, s, sl(u_frag), sl(u_sid), sl(u_start), sl(u_end),
-            sl(u_valid), mapper._mi_hash, mapper._mi_sid, mapper._mi_wpos,
+            sl(u_valid), mi_hash, mi_sid, mi_wpos,
             l, k, w, cfg.l2_entry_cap, begin_end=(sl(b0), sl(eL)),
-            prev_g=mapper._mi_prev, nxt_g=mapper._mi_nxt)
+            prev_g=mi_prev, nxt_g=mi_nxt)
 
     dt, (ev, aux) = t_chain(ev_only, qh, s, u_frag, u_sid, u_start, u_end,
-                            u_valid, b0, eL)
+                            u_valid, b0, eL, mapper._mi_hash,
+                            mapper._mi_sid, mapper._mi_wpos,
+                            mapper._mi_prev, mapper._mi_nxt)
     row(f"L2 build_events ({U} units)", dt)
 
     @jax.jit
