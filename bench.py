@@ -202,7 +202,13 @@ def scaled_caps(n_genomes: int, params) -> None:
     s_avg * G and candidate regions with G.  Both caps stay powers of two
     (the Pallas sort/compaction width contract); defaults already cover
     small G."""
-    if n_genomes > 48:
+    # candidate-region groups: observed maxima 9 @ G=8, 53 @ G=32,
+    # 164 @ G=100 (max_groups diagnostics) — some genome pairs contribute
+    # 2 regions, so ~2/genome + slack; an undershoot sends fragments to
+    # the exact host fallback whose index fetch costs minutes at scale
+    if n_genomes > 64:
+        params.cand_cap = 256
+    elif n_genomes > 24:
         params.cand_cap = 128
     # observed L1 hits on the bench workload: ~153 per genome at the
     # 97-99%% identity ladder (max_hits diagnostics, round 4); 240/genome
@@ -246,7 +252,10 @@ def run_one_shot(paths, frag_batch: int, unit_chunk: int, fuse_k: int,
     t_build_enqueue = time.time() - t0
 
     t0 = time.time()
-    mapper = jitmap.JitMapper(params, index, unit_factor=G + 2,
+    # worst-case L2 units per fragment tracks cand groups (~1.7/genome
+    # at the bench ladder), not just the genome count
+    uf = max(G + 2, int(1.7 * G) + 8)
+    mapper = jitmap.JitMapper(params, index, unit_factor=uf,
                               unit_chunk=unit_chunk)
     t_mapper = time.time() - t0
 

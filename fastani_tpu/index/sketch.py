@@ -141,16 +141,22 @@ class ReferenceIndex:
         if not self.is_device_resident():
             return self
         if self._host_clone is None:
+            from fastani_tpu.utils import jitops
+
             n = self.num_entries
+            # fetch only a pow2-bucketed valid prefix (jitted slice):
+            # the padded tails double the transfer on the slow link
+            nb = min(len(self.mi_hash), 1 << max(n - 1, 1).bit_length())
+            tr = lambda a: jitops.take_rows(a, nb)[:n]
             self._host_clone = dataclasses.replace(
                 self,
                 seq_start=self.host_seq_start(),
-                mi_hash=np.asarray(self.mi_hash)[:n],
-                mi_seqid=np.asarray(self.mi_seqid)[:n],
-                mi_wpos=np.asarray(self.mi_wpos)[:n],
-                occ_hash=np.asarray(self.occ_hash)[:n],
-                occ_seqid=np.asarray(self.occ_seqid)[:n],
-                occ_wpos=np.asarray(self.occ_wpos)[:n],
+                mi_hash=tr(self.mi_hash),
+                mi_seqid=tr(self.mi_seqid),
+                mi_wpos=tr(self.mi_wpos),
+                occ_hash=tr(self.occ_hash),
+                occ_seqid=tr(self.occ_seqid),
+                occ_wpos=tr(self.occ_wpos),
                 _n_valid=None, _n_unique_dev=self._n_unique_dev)
         return self._host_clone
 

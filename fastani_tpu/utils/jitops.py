@@ -12,19 +12,23 @@ dispatches are hazardous in two distinct ways, both measured in round 3:
   subsequent dispatch of ANY program pays the ~25 ms tunnel round trip
   (0.1 ms -> 25 ms measured on an unrelated matmul).  That one is
   guarded at the source (ops/pallas_winnow.winnow_rows);
-* (round 4, bisected with a dispatch-latency canary) the FIRST
-  device->host transfer of ANY buffer — np.asarray, device_get, even
-  copy_to_host_async, any size — permanently degrades the client's
-  dispatch path from ~0.1 ms to ~25-30 ms PER DISPATCH for the rest of
-  the process (no recovery after 20 s idle).  The production design
-  therefore runs ZERO-FETCH steady phases: the index build defers its
-  count/seq_start fetches (index/sketch.py lazy accessors), the map
-  loop keeps counts/overflow masks on device and checks them once per
-  run, and results are fetched exactly once at the end.  Rank-0 device
-  buffers as jit inputs are ALSO avoided (scalars travel as (1, 1)
-  "cells", see ``cell()``/``uncell()``) — scalar plumbing forces eager
-  fetches somewhere downstream, and rank-0 buffers were implicated in
-  the round-3 episodes.
+* (round 4, bisected with a dispatch-latency canary + known-cost
+  probes) the client has TWO modes.  ASYNC mode (process start):
+  dispatch returns in ~0.1 ms but queued EXECUTION is pathological
+  (~200x slower than sync for identical work; H2D ~0.7 MB/s) and
+  block_until_ready is a NO-OP, so async-mode timings lie.  The FIRST
+  device->host transfer of ANY buffer — np.asarray, copy_to_host_async,
+  is_ready, even the hidden host read when a jit traces over a
+  closed-over device array — switches the process to SYNC mode
+  permanently: ~26 ms per dispatch and per transfer, but execution at
+  full device speed and H2D at ~39 MB/s.  SYNC MODE IS THE FAST MODE:
+  ``engage_sync()`` enters it deliberately at startup, and the engine
+  amortizes the per-call cost with FEW, LARGE programs (fused K-batch
+  scan steps, 35 Mbp index flushes) and with deferred/lazy host values
+  so small fetches happen once per run, not per batch.  Scalars still
+  travel as (1, 1) "cells" (``cell()``/``uncell()``) and nothing closes
+  over device arrays (remote_compile rejects the embedded literals —
+  HTTP 413 — and tracing them forces a fetch).
 
 Production paths therefore never run bare jnp ops on device arrays:
 every manipulation goes through one of the jit-compiled callables below
@@ -193,6 +197,19 @@ def any_of(flags) -> bool:
         assert getattr(x, "ndim", 1) >= 1, \
             "rank-0 device buffer passed to any_of (de-async hazard)"
     return bool(fetch(_any_of()(tuple(flags))))
+
+
+@functools.lru_cache(maxsize=None)
+def _slice_rows(n: int):
+    import jax
+
+    return jax.jit(lambda a: a[:n])
+
+
+def take_rows(a, n: int) -> np.ndarray:
+    """Fetch a[:n] via a jitted static slice (bucket n to bound program
+    count)."""
+    return np.asarray(_slice_rows(int(n))(a))
 
 
 @functools.lru_cache(maxsize=None)

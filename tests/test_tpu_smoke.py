@@ -17,6 +17,9 @@ def _require_tpu():
 
     if jax.default_backend() != "tpu":
         pytest.skip("real TPU backend not active (set FASTANI_TPU_TESTS=1)")
+    from fastani_tpu.utils import jitops
+
+    jitops.engage_sync()   # sync mode is the fast/honest mode (jitops doc)
 
 
 def test_winnow_kernel_matches_oracle():
