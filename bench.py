@@ -217,6 +217,17 @@ def scaled_caps(n_genomes: int, params) -> None:
     # an overflow falls back to the exact batched host path.
     want = max(int(240 * n_genomes), 1024)
     params.hits_cap = min(1 << (want - 1).bit_length(), 32768)
+    # L2 entry windows: merged candidate chains at the ladder's 1-5%
+    # divergence can span past the density-formula default (768); give
+    # the packed-record maximum at scale — an overflowing unit sends its
+    # whole fragment to the host fallback, whose per-call jit compiles
+    # cost minutes at G=100 (round-4 full-run readout_stages)
+    if n_genomes > 24:
+        params.l2_entry_cap = 1016
+    # sketch cap: observed max unique minimizers/fragment is 276 on this
+    # ladder (max_s diagnostics); 320 keeps 16% headroom and trims the
+    # (scap x ncap) L2 event tensors and the walk state by ~17%%
+    params.sketch_cap = 320
 
 
 def run_one_shot(paths, frag_batch: int, unit_chunk: int, fuse_k: int,
@@ -305,6 +316,12 @@ def run_one_shot(paths, frag_batch: int, unit_chunk: int, fuse_k: int,
         observed=dict(max_hits=stats.get("max_hits"),
                       max_groups=stats.get("max_groups"),
                       max_s=stats.get("max_s"),
+                      max_span=stats.get("max_span"),
+                      n_units=stats.get("n_units"),
+                      sk_overflow=stats.get("sk_overflow"),
+                      l1_overflow=stats.get("l1_overflow"),
+                      l2_overflow=stats.get("l2_overflow"),
+                      unit_overflow=stats.get("unit_overflow"),
                       fallback_frags=stats.get("fallback_frags", 0)),
         readout_stages={k: v for k, v in stats.items()
                         if k.startswith("t_")},
@@ -401,7 +418,7 @@ def main():
                     help="internal: run ONE milestone one-shot and exit")
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--frag-batch", type=int, default=512)
-    ap.add_argument("--unit-chunk", type=int, default=256)
+    ap.add_argument("--unit-chunk", type=int, default=512)
     ap.add_argument("--fuse-k", type=int, default=16)
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--cached-baseline-only", action="store_true",

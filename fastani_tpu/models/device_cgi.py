@@ -332,7 +332,10 @@ class StreamingCGI:
         import jax.numpy as jnp
 
         n = rows.shape[1]
-        cap = max(128, 1 << max(n - 1, 1).bit_length())
+        # fixed 1024 floor: every distinct packed width would trace+compile
+        # its own update program (remote compiles cost ~30-60 s each on
+        # this platform), and injects are small
+        cap = max(1024, 1 << max(n - 1, 1).bit_length())
         buf = np.zeros((7, cap), np.int32)
         buf[:, :n] = rows
         self.update(jnp.asarray(buf), n, np.zeros(self.frag_cap, bool))

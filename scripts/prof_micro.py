@@ -65,8 +65,10 @@ def main():
     params.ref_sequences = list(paths)
     params.query_sequences = list(paths)
     index = ReferenceIndex.build_device(params)
-    mapper = jitmap.JitMapper(params, index, unit_factor=genomes + 2,
-                              unit_chunk=256)
+    mapper = jitmap.JitMapper(params, index,
+                              unit_factor=max(genomes + 2,
+                                              int(1.7 * genomes) + 8),
+                              unit_chunk=512)
     cfg = mapper.cfg
     k, w, l = cfg.kmer_size, cfg.window_size, cfg.frag_len
     print(f"device {jax.devices()[0]}  caps: scap={cfg.sketch_cap} "
