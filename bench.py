@@ -216,7 +216,9 @@ def scaled_caps(n_genomes: int, params) -> None:
     # linearly with this width, so over-provisioning is pure slowdown;
     # an overflow falls back to the exact batched host path.
     want = max(int(240 * n_genomes), 1024)
-    params.hits_cap = min(1 << (want - 1).bit_length(), 32768)
+    # multiple of 1024, NOT pow2: the hit gather/expand run at this
+    # width and only the sort network pads to pow2 internally
+    params.hits_cap = min(-(-want // 1024) * 1024, 32768)
     # L2 entry windows: merged candidate chains at the ladder's 1-5%
     # divergence can span past the density-formula default (768); give
     # the packed-record maximum at scale — an overflowing unit sends its

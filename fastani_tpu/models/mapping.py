@@ -329,8 +329,18 @@ def l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos, min_hits_lut,
         if is_jax(xp):
             from fastani_tpu.ops import pallas_sort
 
-            if pallas_sort.use_pallas_sort(True, hits_cap):
-                key = pallas_sort.sort_rows_u32(key)
+            # hits_cap need not be a power of two: only the bitonic
+            # NETWORK needs pow2 width, so pad with UMAX for the sort and
+            # slice back — the expensive per-slot work (the random hit
+            # gather above, the expansion cumsums) then runs at the
+            # data-sized width instead of up to 2x over-padded
+            n_sort = 1 << max(hits_cap - 1, 1).bit_length()
+            if pallas_sort.use_pallas_sort(True, n_sort):
+                if n_sort > hits_cap:
+                    key = xp.concatenate(
+                        [key, xp.full((F, n_sort - hits_cap), _UMAX,
+                                      xp.uint32)], axis=-1)
+                key = pallas_sort.sort_rows_u32(key)[:, :hits_cap]
             else:
                 key = xp.sort(key, axis=-1)
         else:
@@ -405,12 +415,22 @@ def l1_candidates(xp, qh, s, occ_hash, occ_sid, occ_wpos, min_hits_lut,
     # binary-key sort + (F, cand_cap) gathers
     from fastani_tpu.ops import pallas_compact
 
-    if pallas_compact.use_pallas_compact(is_jax(xp), hits_cap):
+    n_cw = 1 << max(hits_cap - 1, 1).bit_length()
+    if pallas_compact.use_pallas_compact(is_jax(xp), n_cw):
         hidx_b = xp.broadcast_to(hidx, new_group.shape).astype(xp.int32)
+
+        def padc(a, fill, dt):
+            if n_cw == hits_cap:
+                return a.astype(dt)
+            return xp.concatenate(
+                [a.astype(dt), xp.full((F, n_cw - hits_cap), dt(fill))],
+                axis=-1)
+
         g_sid, g_start, lpos = pallas_compact.compact_rows(
-            new_group, [(hit_sid.astype(xp.int32), -1),
-                        (cand_start.astype(xp.int32), 0),
-                        (hidx_b, hits_cap)])
+            padc(new_group, 0, xp.int32) != 0,
+            [(padc(hit_sid, -1, xp.int32), -1),
+             (padc(cand_start, 0, xp.int32), 0),
+             (padc(hidx_b, hits_cap, xp.int32), hits_cap)])
         g_sid = g_sid[:, :cand_cap]
         g_start = g_start[:, :cand_cap]
         lpos = lpos[:, :cand_cap]
