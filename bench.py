@@ -330,48 +330,62 @@ def run_one_shot(paths, frag_batch: int, unit_chunk: int, fuse_k: int,
     )
 
 
-def measure_hashing_gbps(rows: int = 512, reps: int = 8) -> float:
-    """Steady-state minimizer extraction (murmur3 fwd+rc + winnow +
-    per-row compaction) throughput in Gbp/s — the production index-build
-    producer.  Timed enqueue->readout around `reps` chained dispatches
-    with ONE tiny fetch at the end (block_until_ready lies in async
-    mode)."""
+def measure_hashing_gbps(rows: int = 512, inner: int = 12) -> float:
+    """Production minimizer-extraction throughput (murmur3 fwd+rc + winnow
+    + per-row compaction) in Gbp/s.
+
+    One jitted program loops the producer `inner` times over ~9 Mbp of
+    sequence with a true data dependence between iterations (XLA cannot
+    hoist the body), so the per-dispatch ~26 ms sync round trip amortizes;
+    a second run with inner=1 subtracts the remaining fixed overhead.
+    """
+    import jax
     import jax.numpy as jnp
 
     from fastani_tpu.index import device_build as db
     from fastani_tpu.ops import pallas_winnow as pw
     from fastani_tpu.utils import jitops
 
+    jitops.engage_sync()          # sync mode IS the fast mode (jitops doc)
     k, w = 16, 24
     rng = np.random.default_rng(7)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
-    use_pallas, interp = pw.pallas_mode()
-    if use_pallas:
-        buf = bases[rng.integers(0, 4, (rows, pw.SEG_W))].astype(np.uint8)
-        ctg = np.arange(rows, dtype=np.int32)
-        base = np.zeros(rows, np.int32)
-        lens = np.full(rows, pw.SEG_W, np.int32)
-        fn = db._pallas_batch_jit(k, w, rows, interp)
-        args = tuple(map(jnp.asarray, (buf, ctg, base, lens)))
-        n_bases = rows * pw.SEG_W
-    else:
-        n_contigs = 16
-        halo = w - 1
-        width = halo + db._CHUNK + k - 1
-        buf = np.zeros((n_contigs, width), np.uint8)
-        buf[:, halo:halo + db._CHUNK] = bases[
-            rng.integers(0, 4, (n_contigs, db._CHUNK))]
-        lens = np.full(n_contigs, db._CHUNK, np.int32)
-        fn = db._chunk_batch_jit(k, w, db._CHUNK)
-        args = (jnp.asarray(buf), jnp.asarray(lens))
-        n_bases = n_contigs * db._CHUNK
-    jitops.engage_sync()          # sync mode IS the fast mode (jitops doc)
-    fn(*args)                     # compile + warm
+    use_pallas, _ = pw.pallas_mode()
+    if not use_pallas:
+        return 0.0
+    buf = bases[rng.integers(0, 4, (rows, pw.SEG_W))].astype(np.uint8)
+    ctg = jnp.asarray(np.arange(rows, dtype=np.int32))
+    base = jnp.asarray(np.zeros(rows, np.int32))
+    tl = jnp.asarray(np.full(rows, pw.SEG_W, np.int32))
+    bufd = jnp.asarray(buf)
+    R17 = rows * (pw.SEG_W // db._ROW)
+
+    @jax.jit
+    def burn(bufd, ctg, base, tl, n):
+        def body(i, acc):
+            # acc perturbs one input byte: a real dependence chain, so
+            # XLA cannot hoist the loop-invariant winnow out of the loop
+            b2 = bufd.at[0, 0].set((bufd[0, 0] + acc % 3).astype(jnp.uint8))
+            emit, h, wp = pw.winnow_rows(b2.astype(jnp.int32), ctg, base,
+                                         tl, k, w)
+            _, _, cnt, _ = db._compact_rows(
+                jnp, emit.reshape(-1), h.reshape(-1), wp.reshape(-1), R17)
+            return acc + cnt.sum()
+        return jax.lax.fori_loop(
+            0, n[0, 0], body, jnp.int32(0)).reshape(1, 1)
+
+    n1 = jitops.cell(1)
+    nN = jitops.cell(inner)
+    _ = jitops.fetch(burn(bufd, ctg, base, tl, n1))       # compile + warm
     t0 = time.time()
-    outs = [fn(*args) for _ in range(reps)]
-    _ = jitops.fetch(outs[-1][2][:1])           # one small readout
-    dt = time.time() - t0
-    return n_bases * reps / dt / 1e9
+    _ = jitops.fetch(burn(bufd, ctg, base, tl, n1))
+    dt1 = time.time() - t0
+    t0 = time.time()
+    _ = jitops.fetch(burn(bufd, ctg, base, tl, nN))
+    dtN = time.time() - t0
+    n_bases = rows * pw.SEG_W
+    dd = max(dtN - dt1, 1e-6)
+    return n_bases * (inner - 1) / dd / 1e9
 
 
 # ---------------------------------------------------------------------------
