@@ -501,7 +501,7 @@ def main():
                      "import sys; sys.path.insert(0, %r); "
                      "import bench; print(bench.measure_hashing_gbps())"
                      % REPO],
-                    stdout=subprocess.PIPE, timeout=300)
+                    stdout=subprocess.PIPE, timeout=min(150, max(_remaining() - 60, 30)))
                 gbps = round(float(r.stdout.decode().strip().split()[-1]), 3)
                 _log(f"hashing producer: {gbps} Gbp/s")
             except Exception as e:

@@ -470,8 +470,8 @@ def map_queries_cgi_device(queries: List[QueryFragments], index: ReferenceIndex,
         buffer permanently degrades the tunneled client's dispatch
         latency ~250x (utils/jitops docstring), so fetches happen
         exactly once, after the last dispatch.
-      * slot-recycling (stats runs, or Gq x bins too large): per-batch
-        counts fetch, bounded-memory slot ring — the round-3 behavior.
+      * slot-recycling (Gq x bins too large for slot-per-query): per-
+        batch counts fetch, bounded-memory slot ring — round-3 behavior.
 
     Reference parity: computeCoreIdentity.hpp:166-298 performs this
     aggregation on host memory per query file.
