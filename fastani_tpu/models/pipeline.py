@@ -292,6 +292,11 @@ def map_queries_batched(queries: List[QueryFragments], index: ReferenceIndex,
     return out_list
 
 
+# slot-per-query bin-table budget for the zero-fetch mode; above it the
+# bounded-memory slot-recycling loop takes over (tests patch this)
+_PURE_BYTES_LIMIT = 512 * 1024 * 1024
+
+
 @dataclasses.dataclass
 class CGIRunHandle:
     """In-flight zero-fetch device-CGI run (stream phase done, nothing
@@ -530,7 +535,7 @@ def map_queries_cgi_device(queries: List[QueryFragments], index: ReferenceIndex,
         [c.length for c in index.metadata], index.genome_of_seq(),
         params.frag_len)
     pure_bytes = n_query_genomes * len(gid_of_bin) * 4
-    pure = pure_bytes <= 512 * 1024 * 1024
+    pure = pure_bytes <= _PURE_BYTES_LIMIT
     if pure:
         handle = map_queries_cgi_stream(stream, index, params, jit_mapper,
                                         n_query_genomes, n_ref_genomes)

@@ -217,3 +217,38 @@ def test_lazy_path_ingest_matches_preloaded(tmp_path):
         list(paths), index, params, mapper, G, G)
     np.testing.assert_array_equal(got_c, want_c)
     np.testing.assert_allclose(got_s, want_s, rtol=1e-6)
+
+
+def test_pure_mode_matches_slot_recycling(tmp_path, monkeypatch):
+    """The zero-fetch fused path (slot per query, finalize_all) and the
+    bounded-memory slot-recycling path must produce identical tallies —
+    same fold values, same per-query addition order."""
+    from tests import synth
+
+    from fastani_tpu.config import Parameters
+    from fastani_tpu.index.sketch import ReferenceIndex
+    from fastani_tpu.models import jitmap, pipeline
+
+    rng = np.random.default_rng(29)
+    base = synth.random_genome(rng, 50_000)
+    paths = []
+    for i in range(3):
+        g = synth.mutate_genome(rng, base, 0.01 + 0.02 * i)
+        p = tmp_path / f"g{i}.fa"
+        synth.write_fasta(p, [(f"g{i}", g)])
+        paths.append(str(p))
+    params = Parameters(frag_batch=16).finalize()
+    params.ref_sequences = list(paths)
+    params.query_sequences = list(paths)
+    index = ReferenceIndex.build(params)
+    mapper = jitmap.JitMapper(params, index, unit_factor=5, unit_chunk=16)
+    queries = [pipeline.load_query_fragments(p, params) for p in paths]
+
+    c_pure, s_pure = pipeline.map_queries_cgi_device(
+        queries, index, params, mapper, len(paths), len(paths))
+    monkeypatch.setattr(pipeline, "_PURE_BYTES_LIMIT", 0)
+    c_rec, s_rec = pipeline.map_queries_cgi_device(
+        queries, index, params, mapper, len(paths), len(paths))
+    np.testing.assert_array_equal(c_pure, c_rec)
+    np.testing.assert_array_equal(s_pure, s_rec)
+    assert c_pure.sum() > 0
