@@ -148,7 +148,12 @@ def _assemble_jit(p_rows: int, out_size: int):
             sid_b, mode="drop")[:out_size]
         order = jnp.argsort(mi_hash, stable=True)         # pads stay at tail
         total = cnt.sum().astype(jnp.int64)
-        size_over = (total > out_size).reshape(1, 1)
+        # flag with margin: the jitted mapper requires >= l2_entry_cap
+        # (<= 1022, plus slack) SENTINEL entries past the true count so
+        # L2 dynamic-slice windows stay contiguous and never clip; a
+        # build whose margin lands under 2048 must fall back to the
+        # exact host rebuild even if no entry was actually dropped
+        size_over = (total > out_size - 2048).reshape(1, 1)
         n_unique = ((mi_hash[order][1:] != mi_hash[order][:-1])
                     & (jnp.arange(out_size - 1, dtype=jnp.int64) + 1 < total)
                     ).sum().astype(jnp.int64) + (total > 0)

@@ -349,9 +349,9 @@ def map_queries_cgi_stream(queries, index: ReferenceIndex,
         index, params, n_query_genomes, n_ref_genomes,
         n_slots=max(n_query_genomes, 1), frag_cap=B,
         donate=jax.default_backend() == "tpu")
-    fn = jit_mapper.fused_stream_fn(fuse_k, cgi)
+    fn = jit_mapper.fused_stream_fn(fuse_k, cgi) if starts else None
     fb_masks, counts_list = [], []
-    for c0 in range(0, max(len(starts), 1), fuse_k):
+    for c0 in range(0, len(starts), fuse_k):
         grp = starts[c0:c0 + fuse_k]
         frags_k = np.zeros((fuse_k, B, L), np.uint8)
         qno_k = np.zeros((fuse_k, B), np.int32)
@@ -575,8 +575,13 @@ def map_queries_cgi_device(queries: List[QueryFragments], index: ReferenceIndex,
     inflight = []
     for b0 in starts:
         batch, qno_row, gid_row, _n = stream.make_batch(b0, B)
+        # pass only the true rows: dispatch() re-pads to B and marks
+        # row_valid[:_n] — all-zero pad rows of the final partial batch
+        # must NOT map (a >= k A-run in a reference would otherwise give
+        # them spurious hits folded into query genome 0)
         inflight.append((b0, qno_row, gid_row,
-                         jit_mapper.dispatch(batch, qno_row, gid_row)))
+                         jit_mapper.dispatch(batch[:_n], qno_row[:_n],
+                                             gid_row[:_n])))
         if len(inflight) >= 2:
             p0, qr, gr, h = inflight.pop(0)
             handle_result(p0, qr, gr,

@@ -252,3 +252,69 @@ def test_pure_mode_matches_slot_recycling(tmp_path, monkeypatch):
     np.testing.assert_array_equal(c_pure, c_rec)
     np.testing.assert_array_equal(s_pure, s_rec)
     assert c_pure.sum() > 0
+
+
+def test_recycling_excludes_pad_rows_of_partial_batch(tmp_path, monkeypatch):
+    """Regression (advisor r4, high): the slot-recycling path must mark
+    rows past n_used of the final PARTIAL batch invalid — their content
+    is out of contract (zero fill today, but the row_valid mask is the
+    guarantee, not the fill).  To make a violation observable, pad rows
+    are filled with a REAL mappable fragment: without the n_used-based
+    exclusion they map and fold spurious counts into query genome 0."""
+    from tests import synth
+
+    from fastani_tpu.config import Parameters
+    from fastani_tpu.index.sketch import ReferenceIndex
+    from fastani_tpu.models import jitmap, pipeline
+
+    rng = np.random.default_rng(31)
+    base = synth.random_genome(rng, 33_000)   # 11 frags/genome -> 33 total
+    paths = []
+    for i in range(3):
+        g = synth.mutate_genome(rng, base, 0.01 + 0.02 * i)
+        p = tmp_path / f"g{i}.fa"
+        synth.write_fasta(p, [(f"g{i}", g)])
+        paths.append(str(p))
+    # frag_batch=16: 33 frags -> final batch has 1 used + 15 pad rows
+    params = Parameters(frag_batch=16).finalize()
+    params.ref_sequences = list(paths)
+    params.query_sequences = list(paths)
+    index = ReferenceIndex.build(params)
+    mapper = jitmap.JitMapper(params, index, unit_factor=5, unit_chunk=16)
+    queries = [pipeline.load_query_fragments(p, params) for p in paths]
+    assert sum(len(q.frags) for q in queries) % params.frag_batch != 0
+
+    real_frag = queries[0].frags[0].copy()
+    orig_make_batch = pipeline.FragmentStream.make_batch
+
+    def poisoned_make_batch(self, b0, B):
+        frags, qno_row, gid_row, n = orig_make_batch(self, b0, B)
+        if n < B:                     # fill pads with a mappable fragment
+            frags[n:] = real_frag
+        return frags, qno_row, gid_row, n
+
+    monkeypatch.setattr(pipeline.FragmentStream, "make_batch",
+                        poisoned_make_batch)
+
+    # host oracle counts (exact aggregation over the REAL fragments)
+    mapper2 = jitmap.JitMapper(params, index, unit_factor=5, unit_chunk=16)
+    maps = pipeline.map_queries_batched(queries, index, params, mapper2)
+    genome_of_seq = index.genome_of_seq()
+    want_c = np.zeros((len(paths), len(paths)), np.int64)
+    for q, m in enumerate(maps):
+        rows, _ = ani.compute_cgi_arrays(
+            m["ref_seq_id"], m["query_seq_id"], m["ref_start_pos"],
+            m["ident"], genome_of_seq, params.frag_len, q,
+            queries[q].total_fragments, want_visual=False)
+        for r in rows:
+            want_c[q, r.ref_genome] = r.count_seq
+
+    c_pure, s_pure = pipeline.map_queries_cgi_device(
+        queries, index, params, mapper, len(paths), len(paths))
+    monkeypatch.setattr(pipeline, "_PURE_BYTES_LIMIT", 0)
+    c_rec, s_rec = pipeline.map_queries_cgi_device(
+        queries, index, params, mapper, len(paths), len(paths))
+    np.testing.assert_array_equal(c_pure, want_c)
+    np.testing.assert_array_equal(c_rec, want_c)
+    np.testing.assert_array_equal(s_pure, s_rec)
+    assert want_c.sum() > 0
