@@ -197,39 +197,11 @@ def get_baseline(workdir, paths, n, size, allow_measure: bool,
 # ---------------------------------------------------------------------------
 
 def scaled_caps(n_genomes: int, params) -> None:
-    """Grow the L1 capacity caps with the genome count: in all-vs-all runs
-    every fragment legitimately hits ~every genome, so hits scale with
-    s_avg * G and candidate regions with G.  Both caps stay powers of two
-    (the Pallas sort/compaction width contract); defaults already cover
-    small G."""
-    # candidate-region groups: observed maxima 9 @ G=8, 53 @ G=32,
-    # 164 @ G=100 (max_groups diagnostics) — some genome pairs contribute
-    # 2 regions, so ~2/genome + slack; an undershoot sends fragments to
-    # the exact host fallback whose index fetch costs minutes at scale
-    if n_genomes > 64:
-        params.cand_cap = 256
-    elif n_genomes > 24:
-        params.cand_cap = 128
-    # observed L1 hits on the bench workload: ~153 per genome at the
-    # 97-99%% identity ladder (max_hits diagnostics, round 4); 240/genome
-    # gives >1.5x headroom.  L1 cost (hit gather + sort + expand) scales
-    # linearly with this width, so over-provisioning is pure slowdown;
-    # an overflow falls back to the exact batched host path.
-    want = max(int(240 * n_genomes), 1024)
-    # multiple of 1024, NOT pow2: the hit gather/expand run at this
-    # width and only the sort network pads to pow2 internally
-    params.hits_cap = min(-(-want // 1024) * 1024, 32768)
-    # L2 entry windows: merged candidate chains at the ladder's 1-5%
-    # divergence can span past the density-formula default (768); give
-    # the packed-record maximum at scale — an overflowing unit sends its
-    # whole fragment to the host fallback, whose per-call jit compiles
-    # cost minutes at G=100 (round-4 full-run readout_stages)
-    if n_genomes > 24:
-        params.l2_entry_cap = 1016
-    # sketch cap: observed max unique minimizers/fragment is 276 on this
-    # ladder (max_s diagnostics); 320 keeps 16% headroom and trims the
-    # (scap x ncap) L2 event tensors and the walk state by ~17%%
-    params.sketch_cap = 320
+    """Genome-count cap scaling — shared with the product CLI fast path
+    (fastani_tpu.config.scale_caps; measured basis documented there)."""
+    from fastani_tpu.config import scale_caps
+
+    scale_caps(n_genomes, params)
 
 
 def run_one_shot(paths, frag_batch: int, unit_chunk: int, fuse_k: int,

@@ -87,6 +87,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", "--version", action="store_true", help="show version")
     p.add_argument("--backend", choices=["numpy", "jax"], default="numpy",
                    help="compute backend (jax = TPU path)")
+    p.add_argument("--exact", action="store_true",
+                   help="force the byte-parity exact aggregation path "
+                        "(host CGI fold); without it --backend jax uses "
+                        "the fused device-CGI throughput path, whose ANI "
+                        "matches the exact path within float32 summation "
+                        "order (<< the 0.1-ANI contract).  --visualize "
+                        "and -s imply --exact.")
     p.add_argument("--saveIndex", dest="saveIndex", default="",
                    help="persist the built reference index to this .npz")
     p.add_argument("--loadIndex", dest="loadIndex", default="",
@@ -164,21 +171,31 @@ def main(argv=None) -> int:
     print(f"Backend = {args.backend}", file=sys.stderr)
     print(">>>>>>>>>>>>>>>>>>", file=sys.stderr)
 
+    # fast path: fused zero-fetch device CGI (--backend jax default).
+    # --visualize needs the exact mapping rows; -s resolves the sanity
+    # ratios on host — both imply --exact (reference: one binary covers
+    # all modes, parseCmdArgs.hpp:114-234)
+    fast = (args.backend == "jax" and not args.exact
+            and not args.visualize and not args.sanityCheck)
+
     if args.mesh or args.coordinator:
         from fastani_tpu.parallel import runner
 
         n_r = n_q = None
         if args.mesh and args.mesh != "auto":
             n_r, n_q = (int(x) for x in args.mesh.lower().split("x"))
-        runner.run_sharded(
-            params, n_r, n_q,
+        run = runner.run_sharded_fused if fast else runner.run_sharded
+        run(params, n_r, n_q,
             coordinator=args.coordinator or None,
             num_processes=args.nprocs or None,
             process_id=args.procid if args.procid >= 0 else None,
             backend=args.backend)
         return 0
 
-    pipeline.run(params, backend=args.backend)
+    if fast:
+        pipeline.run_fast(params)
+    else:
+        pipeline.run(params, backend=args.backend)
     return 0
 
 

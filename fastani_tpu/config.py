@@ -105,3 +105,26 @@ class Parameters:
             # overflow stampedes.
             self.l2_entry_cap = _round128(int(6.4 * self.frag_len / (w + 1)))
         return self
+
+
+def scale_caps(n_genomes: int, params: "Parameters") -> None:
+    """Grow the L1 capacity caps with the reference-genome count: in
+    many-to-many runs every fragment legitimately hits ~every related
+    genome, so hits scale with s_avg * G and candidate regions with G.
+    Both caps stay powers of two (the Pallas sort/compaction width
+    contract); defaults already cover small G.  Measured basis (bench
+    diagnostics, round 4): ~153 L1 hits and ~1.7 candidate groups per
+    genome at a 97-99% identity ladder; max unique minimizers/fragment
+    276.  An undershoot falls back to the exact host path per fragment —
+    correct but minutes-slow at scale, so the caps carry real headroom."""
+    if n_genomes > 64:
+        params.cand_cap = 256
+    elif n_genomes > 24:
+        params.cand_cap = 128
+    want = max(int(240 * n_genomes), 1024)
+    # multiple of 1024, NOT pow2: the hit gather/expand run at this
+    # width and only the sort network pads to pow2 internally
+    params.hits_cap = min(-(-want // 1024) * 1024, 32768)
+    if n_genomes > 24:
+        params.l2_entry_cap = 1016
+    params.sketch_cap = 320

@@ -37,6 +37,24 @@ class VisualRow:
     identity: np.float32
 
 
+def results_from_matrices(counts: np.ndarray, sums: np.ndarray,
+                          total_fragments) -> List[CGIResult]:
+    """(Gq, Gr) count/identity-sum matrices -> CGIResult rows (the device
+    CGI fast-path readout form; computeCoreIdentity.hpp:267-297's
+    per-pair mean).  total_fragments: callable(qno) or indexable."""
+    rows: List[CGIResult] = []
+    Gq, Gr = counts.shape
+    for q in range(Gq):
+        tq = total_fragments(q) if callable(total_fragments) \
+            else total_fragments[q]
+        for g in range(Gr):
+            if counts[q, g] > 0:
+                rows.append(CGIResult(
+                    q, g, int(counts[q, g]), tq,
+                    np.float32(sums[q, g] / np.float32(counts[q, g]))))
+    return rows
+
+
 def compute_cgi(
     mappings: List[Mapping],
     genome_of_seq: np.ndarray,

@@ -15,9 +15,13 @@ Two implementations:
   running-best table keyed by global reference position bin (the 2-way
   law, computeCoreIdentity.hpp:237-255: best identity per (refContig,
   refPosBin)), after an exact per-batch 1-way dedupe (valid because a
-  fragment's mapping rows all live in ONE batch).  HBM footprint is
-  O(slots * total_ref_bins + Gq*Gr), independent of run length.  The
-  2-way table stores only the max identity bits per bin — identity
+  fragment's mapping rows all live in ONE batch).  Slots recycle modulo
+  a small ring: a finished query genome's row is folded into the
+  (Gq, Gr) accumulators IN-SCAN (finalize_rows) per the driver's static
+  schedule (pipeline.cgi_stream_schedule), so HBM footprint is
+  O(slots * total_ref_bins + Gq*Gr) with slots ~ max distinct query
+  genomes per batch — independent of BOTH run length and query count.
+  The 2-way table stores only the max identity bits per bin — identity
   tie-breakers beyond the value itself cannot change per-pair counts or
   sums (tied rows have equal identity), so a single int32 scatter-max
   suffices.
@@ -187,6 +191,68 @@ def update_tab(tab, packed, n_valid, excl_frag, genome_of_seq, bin_start,
     return tab
 
 
+def finalize_rows(tab, acc_counts, acc_sums, fin_qnos, gid_of_bin,
+                  n_slots: int, n_qg: int, n_rg: int, q_axis: str = None):
+    """Pure in-scan slot finalize: fold the bin-table rows of the listed
+    query genomes into the (Gq, Gr) accumulators and clear their slots.
+
+    ``fin_qnos`` (FIN,) int32 lists query genomes whose LAST fragment
+    precedes the current batch (-1 entries are no-ops).  This closes
+    per-query segments ON DEVICE inside the fused stream scan, so slots
+    recycle without any host fetch — the scalable replacement for both
+    the slot-per-query table (O(Gq x bins) HBM) and the per-batch-fetch
+    recycling loop (reference equivalent: the per-query computeCGI call,
+    computeCoreIdentity.hpp:166-298).
+
+    ``q_axis``: inside a shard_map with query-fragment data parallelism,
+    the per-bin running max must merge across the q axis BEFORE
+    occupancy is counted (a query's fragments span q devices); pass the
+    mesh axis name and the gathered rows are lax.pmax-ed first — every
+    q device then folds identical values, keeping acc replicated over q.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    FIN = fin_qnos.shape[0]
+    valid = fin_qnos >= 0
+    slots = jnp.where(valid, fin_qnos % n_slots, 0)
+    rows = tab[slots]                                   # (FIN, B_tot)
+    if q_axis is not None:
+        rows = jax.lax.pmax(rows, q_axis)
+    occ = (rows >= 0) & valid[:, None]
+    ident = jnp.where(occ, rows.view(jnp.float32), 0.0)
+    seg = jnp.where(occ, gid_of_bin[None, :], n_rg)
+    seg_flat = (jnp.arange(FIN, dtype=jnp.int32)[:, None] * (n_rg + 1)
+                + seg).reshape(-1)
+    cnt = jax.ops.segment_sum(
+        occ.astype(jnp.int32).reshape(-1), seg_flat,
+        num_segments=FIN * (n_rg + 1)).reshape(FIN, n_rg + 1)[:, :n_rg]
+    sm = jax.ops.segment_sum(
+        ident.reshape(-1), seg_flat,
+        num_segments=FIN * (n_rg + 1)).reshape(FIN, n_rg + 1)[:, :n_rg]
+    qidx = jnp.where(valid, fin_qnos, n_qg)
+    acc_counts = acc_counts.at[qidx].add(
+        jnp.where(valid[:, None], cnt, 0), mode="drop")
+    acc_sums = acc_sums.at[qidx].add(
+        jnp.where(valid[:, None], sm, 0.0), mode="drop")
+    tab = tab.at[jnp.where(valid, slots, n_slots)].set(
+        jnp.int32(-1), mode="drop")
+    return tab, acc_counts, acc_sums
+
+
+@functools.lru_cache(maxsize=None)
+def _finalize_rows_jit(fin_cap: int, n_slots: int, n_qg: int, n_rg: int,
+                       donate: bool = True):
+    """Standalone finalize-list program (the post-scan tail flush)."""
+    import jax
+
+    def f(tab, acc_counts, acc_sums, fin_qnos, gid_of_bin):
+        return finalize_rows(tab, acc_counts, acc_sums, fin_qnos,
+                             gid_of_bin, n_slots, n_qg, n_rg)
+
+    return jax.jit(f, donate_argnums=(0, 1, 2) if donate else ())
+
+
 @functools.lru_cache(maxsize=None)
 def _update_jit(frag_len: int, n_slots: int, n_rg: int, frag_cap: int,
                 donate: bool = True):
@@ -200,34 +266,6 @@ def _update_jit(frag_len: int, n_slots: int, n_rg: int, frag_cap: int,
                           frag_cap)
 
     return jax.jit(f, donate_argnums=(0,) if donate else ())
-
-
-@functools.lru_cache(maxsize=None)
-def _finalize_all_jit(n_slots: int, n_qg: int, n_rg: int,
-                      donate: bool = True):
-    """All-slot finalize: fold every query slot's bin row into the
-    (Gq, Gr) accumulators in ONE dispatch (zero-fetch driver path)."""
-    import jax
-    import jax.numpy as jnp
-
-    def f(tab, acc_counts, acc_sums, gid_of_bin):
-        rows = tab[:n_qg]                       # (n_qg, B_tot)
-        occupied = rows >= 0
-        ident = jnp.where(occupied, rows.view(jnp.float32), 0.0)
-        seg = jnp.where(occupied, gid_of_bin[None, :], n_rg)
-        # per-query segment sums over ref genomes: one flat segment_sum
-        seg_flat = (jnp.arange(n_qg, dtype=jnp.int32)[:, None]
-                    * (n_rg + 1) + seg).reshape(-1)
-        cnt = jax.ops.segment_sum(
-            occupied.astype(jnp.int32).reshape(-1), seg_flat,
-            num_segments=n_qg * (n_rg + 1)).reshape(n_qg, n_rg + 1)[:, :n_rg]
-        sm = jax.ops.segment_sum(
-            ident.reshape(-1), seg_flat,
-            num_segments=n_qg * (n_rg + 1)).reshape(n_qg, n_rg + 1)[:, :n_rg]
-        tab = jnp.full_like(tab, -1)
-        return tab, acc_counts + cnt, acc_sums + sm
-
-    return jax.jit(f, donate_argnums=(0, 1, 2) if donate else ())
 
 
 @functools.lru_cache(maxsize=None)
@@ -348,17 +386,20 @@ class StreamingCGI:
             self._tab, self._counts, self._sums, cell(int(qno)),
             self._gid_of_bin)
 
-    def finalize_all(self):
-        """One-dispatch finalize for the NO-RECYCLE mode (n_slots ==
-        n_query_genomes, each query genome owns its slot): a single
-        segment reduction of the whole bin table replaces n_qg
-        finalize_query dispatches.  Requires that no slot was recycled
-        and that no finalize_query was issued for these queries."""
-        assert self.n_slots >= self.n_qg, "finalize_all needs slot-per-query"
-        fn = _finalize_all_jit(self.n_slots, self.n_qg, self.n_rg,
-                               self.donate)
+    def finalize_list(self, qnos, fin_cap: int) -> None:
+        """Flush the listed query genomes' slots into the accumulators
+        (the post-scan tail of the in-scan-finalize stream; enqueue-only,
+        no fetch).  len(qnos) <= fin_cap; fin_cap is a static program
+        width (pad entries are -1 no-ops)."""
+        import jax.numpy as jnp
+
+        fn = _finalize_rows_jit(fin_cap, self.n_slots, self.n_qg,
+                                self.n_rg, self.donate)
+        buf = np.full(fin_cap, -1, np.int32)
+        buf[:len(qnos)] = np.asarray(list(qnos), np.int32)
         self._tab, self._counts, self._sums = fn(
-            self._tab, self._counts, self._sums, self._gid_of_bin)
+            self._tab, self._counts, self._sums, jnp.asarray(buf),
+            self._gid_of_bin)
 
     def result(self):
         return np.asarray(self._counts), np.asarray(self._sums)

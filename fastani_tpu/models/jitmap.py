@@ -103,7 +103,11 @@ class MapperConfig:
             hits_cap=params.hits_cap,
             cand_cap=params.cand_cap,
             l2_entry_cap=params.l2_entry_cap,
-            unit_cap=params.frag_batch * unit_factor,
+            # never wider than the candidate grid itself (F x cand_cap):
+            # the unit compaction can only produce that many slots, and a
+            # wider cap breaks the fixed-shape slices downstream
+            unit_cap=min(params.frag_batch * unit_factor,
+                         params.frag_batch * params.cand_cap),
             unit_chunk=unit_chunk,
             freq_threshold=freq_threshold,
             wpos_bits=wpos_bits,
@@ -278,7 +282,8 @@ def map_step_packed(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
                     mi_hash, mi_sid, mi_wpos, seq_start, min_hits_lut,
                     gate_lut, n_occ=None, occ_packed=None, mi_packed=None,
                     mi_prev=None, mi_nxt=None, occ_lut=None, mi_lut=None,
-                    qno_row=None, qsid_row=None, row_valid=None):
+                    qno_row=None, qsid_row=None, row_valid=None,
+                    freq_threshold=None):
     """map_step + device-side compaction for host consumption.
 
     The session TPU's device->host link runs at ~1 MB/s with ~30 ms
@@ -294,7 +299,7 @@ def map_step_packed(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
                    mi_wpos, seq_start, min_hits_lut, gate_lut, n_occ=n_occ,
                    occ_packed=occ_packed, mi_packed=mi_packed,
                    mi_prev=mi_prev, mi_nxt=mi_nxt, occ_lut=occ_lut,
-                   mi_lut=mi_lut)
+                   mi_lut=mi_lut, freq_threshold=freq_threshold)
     F = frags.shape[0]
     frag = out["frag"]
     # per-fragment fallback mask ON DEVICE: a fragment whose caps
@@ -494,20 +499,32 @@ class JitMapper:
 
     # ---- fused multi-batch stream step -------------------------------------
 
-    def fused_stream_fn(self, K: int, cgi):
-        """ONE jitted program that maps K fragment batches and folds each
-        into the CGI bin table via a lax.scan — K batches per dispatch
-        instead of 2K dispatches.  Deep async dispatch queues are
-        pathological on this platform (~2 s/program past ~8-16 in
-        flight, measured round 4) and any completion probe degrades the
-        client permanently, so the ONLY safe shape is few, large
-        programs (utils/jitops docstring).
+    def fused_stream_fin_fn(self, K: int, fin_cap: int, cgi):
+        """ONE jitted program that maps K fragment batches, folds each
+        into the CGI slot table, and closes finished query genomes'
+        segments — K batches per dispatch instead of 2K dispatches (deep
+        async dispatch queues are pathological on this platform,
+        ~2 s/program past ~8-16 in flight, measured round 4; any
+        completion probe degrades the client permanently, so the only
+        safe shape is few, large programs — utils/jitops docstring).
 
-        Returns f(frags_k (K,B,L) u8, qno_k (K,B) i32, qsid_k (K,B) i32,
-        rv_k (K,B) bool, tab) -> (tab', counts_k (K,10), fb_k (K,B));
-        tab is donated.
+        IN-SCAN SLOT FINALIZE: each scan step first
+        folds the bin-table slots of query genomes whose fragments all
+        precede that batch into the (Gq, Gr) accumulators
+        (device_cgi.finalize_rows), then maps the batch into the recycled
+        slot table.  Slots recycle modulo n_slots, so HBM is
+        O(n_slots x bins) — INDEPENDENT of the query-genome count — and
+        the whole run still performs zero device->host transfers until
+        the single readout (replaces both the slot-per-query table and
+        the per-batch-fetch recycling loop; the reference's equivalent
+        per-query aggregation is computeCoreIdentity.hpp:166-298).
+
+        Returns f(frags_k (K,B,L), qno_k, qsid_k, rv_k (K,B),
+        fin_k (K,fin_cap) i32 [-1 = no-op], tab, acc_c, acc_s, ...) ->
+        (tab', acc_c', acc_s', counts_k, fb_k); tab/acc donated.
         """
-        key = (K, cgi.n_slots, cgi.n_rg, cgi.frag_cap)
+        key = ("fin", K, fin_cap, cgi.n_slots, cgi.n_qg, cgi.n_rg,
+               cgi.frag_cap)
         cache = getattr(self, "_fused_cache", None)
         if cache is None:
             cache = self._fused_cache = {}
@@ -517,17 +534,23 @@ class JitMapper:
 
         cfg = self.cfg
         frag_len = self.params.frag_len
-        n_slots, n_rg, frag_cap = cgi.n_slots, cgi.n_rg, cgi.frag_cap
+        n_slots, n_qg, n_rg = cgi.n_slots, cgi.n_qg, cgi.n_rg
+        frag_cap = cgi.frag_cap
         packed_mode = cfg.wpos_bits is not None
 
-        def f(frags_k, qno_k, qsid_k, rv_k, tab, occ_hash, occ_sid,
-              occ_wpos, mi_hash, mi_sid, mi_wpos, seq_start, min_hits,
-              gate, n_occ, occ_packed, mi_packed, mi_prev, mi_nxt,
-              occ_lut, mi_lut, gos, bin_start, ident_lut):
+        def f(frags_k, qno_k, qsid_k, rv_k, fin_k, tab, acc_c, acc_s,
+              occ_hash, occ_sid, occ_wpos, mi_hash, mi_sid, mi_wpos,
+              seq_start, min_hits, gate, n_occ, occ_packed, mi_packed,
+              mi_prev, mi_nxt, occ_lut, mi_lut, gos, bin_start,
+              ident_lut, gid_of_bin):
             no_excl = jnp.zeros(frag_cap, bool)
 
-            def body(tab, xs):
-                frags, qno_row, qsid_row, rv = xs
+            def body(carry, xs):
+                tab, acc_c, acc_s = carry
+                frags, qno_row, qsid_row, rv, fin = xs
+                tab, acc_c, acc_s = device_cgi.finalize_rows(
+                    tab, acc_c, acc_s, fin, gid_of_bin, n_slots, n_qg,
+                    n_rg)
                 out = map_step_packed(
                     cfg, frags, occ_hash, occ_sid, occ_wpos, mi_hash,
                     mi_sid, mi_wpos, seq_start, min_hits, gate,
@@ -541,30 +564,35 @@ class JitMapper:
                     tab, out["packed"], out["counts"], no_excl, gos,
                     bin_start, ident_lut, frag_len, n_slots, n_rg,
                     frag_cap)
-                return tab, (out["counts"], out["fallback_mask"])
+                return (tab, acc_c, acc_s), (out["counts"],
+                                             out["fallback_mask"])
 
-            tab, (counts_k, fb_k) = jax.lax.scan(
-                body, tab, (frags_k, qno_k, qsid_k, rv_k))
-            return tab, counts_k, fb_k
+            (tab, acc_c, acc_s), (counts_k, fb_k) = jax.lax.scan(
+                body, (tab, acc_c, acc_s),
+                (frags_k, qno_k, qsid_k, rv_k, fin_k))
+            return tab, acc_c, acc_s, counts_k, fb_k
 
-        fn = jax.jit(f, donate_argnums=(4,))
+        fn = jax.jit(f, donate_argnums=(5, 6, 7))
         cache[key] = fn
         return fn
 
-    def dispatch_fused(self, fn, frags_k, qno_k, qsid_k, rv_k, cgi):
-        """Enqueue one fused K-batch program; updates cgi._tab in place."""
+    def dispatch_fused_fin(self, fn, frags_k, qno_k, qsid_k, rv_k, fin_k,
+                           cgi):
+        """Enqueue one fused K-batch program with in-scan finalize;
+        updates cgi._tab/_counts/_sums in place."""
         packed = self.cfg.wpos_bits is not None
-        tab, counts_k, fb_k = fn(
+        tab, acc_c, acc_s, counts_k, fb_k = fn(
             jnp.asarray(frags_k), jnp.asarray(qno_k), jnp.asarray(qsid_k),
-            jnp.asarray(rv_k), cgi._tab, self._occ_hash, self._occ_sid,
-            self._occ_wpos, self._mi_hash, self._mi_sid, self._mi_wpos,
-            self._seq_start, self._min_hits, self._gate, self._n_occ,
+            jnp.asarray(rv_k), jnp.asarray(fin_k), cgi._tab, cgi._counts,
+            cgi._sums, self._occ_hash, self._occ_sid, self._occ_wpos,
+            self._mi_hash, self._mi_sid, self._mi_wpos, self._seq_start,
+            self._min_hits, self._gate, self._n_occ,
             self._occ_packed if packed else self._occ_hash,
             self._mi_packed if packed else self._mi_hash,
             self._mi_prev, self._mi_nxt, self._occ_lut,
             self._mi_lut if packed else self._occ_lut,
-            cgi._gos, cgi._bin_start, cgi._lut)
-        cgi._tab = tab
+            cgi._gos, cgi._bin_start, cgi._lut, cgi._gid_of_bin)
+        cgi._tab, cgi._counts, cgi._sums = tab, acc_c, acc_s
         return counts_k, fb_k
 
     # ---- async two-phase interface -----------------------------------------

@@ -292,16 +292,11 @@ def map_queries_batched(queries: List[QueryFragments], index: ReferenceIndex,
     return out_list
 
 
-# slot-per-query bin-table budget for the zero-fetch mode; above it the
-# bounded-memory slot-recycling loop takes over (tests patch this)
-_PURE_BYTES_LIMIT = 512 * 1024 * 1024
-
-
 @dataclasses.dataclass
 class CGIRunHandle:
     """In-flight zero-fetch device-CGI run (stream phase done, nothing
     fetched): all listed arrays are device-resident."""
-    cgi: object                 # StreamingCGI, slot-per-query
+    cgi: object                 # StreamingCGI (recycled slot ring)
     fb_masks: list              # per-chunk (K, B) bool fallback masks
     counts_list: list           # per-chunk (K, 10) diagnostics vectors
     stream: "FragmentStream"
@@ -319,22 +314,56 @@ class CGIRunHandle:
         jax.block_until_ready(self.cgi._tab)
 
 
+def cgi_stream_schedule(stream: "FragmentStream", B: int,
+                        n_query_genomes: int):
+    """Static slot/finalize plan for the in-scan-finalize stream.
+
+    Returns (starts, fins, tail, n_slots, fin_cap): per-batch finalize
+    lists (query genomes whose fragments all precede that batch), the
+    post-scan leftover list, the slot-ring size (max distinct query
+    genomes spanned by any one batch — consecutive qnos, so modulo
+    n_slots is collision-free), and the padded static width of the fin
+    lists.  Pure host arithmetic over the fragment-count prefix sums —
+    no device work."""
+    F = stream.F
+    starts = list(range(0, F, B))
+    q_lo = [stream.qno_of_row(b0) for b0 in starts]
+    q_hi = [stream.qno_of_row(min(b0 + B, F) - 1) for b0 in starts]
+    n_slots = max((hi - lo + 1 for lo, hi in zip(q_lo, q_hi)), default=1)
+    # finalize only query genomes that OWN fragments: an empty genome's
+    # slot never holds data, and listing it would alias an active
+    # query's slot inside one finalize_rows gather (double fold) —
+    # active qnos in any one list span < n_slots, so their slots are
+    # distinct by construction
+    has_frags = [stream.meta[i][0] > 0 for i in range(n_query_genomes)]
+    fins, ptr = [], 0
+    for lo in q_lo:
+        fins.append([q for q in range(ptr, lo) if has_frags[q]])
+        ptr = max(ptr, lo)
+    tail = [q for q in range(ptr, n_query_genomes) if has_frags[q]]
+    max_fin = max((len(f) for f in fins), default=0)
+    fin_cap = max(8, 1 << max(max_fin - 1, 1).bit_length())
+    return starts, fins, tail, n_slots, fin_cap
+
+
 def map_queries_cgi_stream(queries, index: ReferenceIndex,
                            params: Parameters, jit_mapper,
                            n_query_genomes: int, n_ref_genomes: int,
                            fuse_k: int = 16) -> CGIRunHandle:
     """ZERO-FETCH stream phase of the device-CGI throughput path: enqueue
     the run as FEW, LARGE programs — each fused program maps fuse_k
-    fragment batches and folds them into the CGI bin table via lax.scan
-    (models/jitmap.fused_stream_fn) — without a single device->host
-    transfer.  Rationale (measured, round 4): the first fetch of any
-    buffer permanently degrades the tunneled client's dispatch AND
-    transfer latency 15-250x, and deep async dispatch queues cost ~2 s
-    per program past ~8-16 in flight, so the only fast shape is a
-    shallow queue of fused programs with ONE readout at the end
-    (map_queries_cgi_finish).  Requires the slot-per-query bin table to
-    fit (the caller checks); the reference's equivalent aggregation is
-    computeCoreIdentity.hpp:166-298 on host memory."""
+    fragment batches, folds each into a small recycled slot table, and
+    closes finished query genomes' per-query segments into the (Gq, Gr)
+    accumulators IN-SCAN (models/jitmap.fused_stream_fin_fn) — without a
+    single device->host transfer.  Rationale (measured, round 4): the
+    first fetch of any buffer permanently degrades the tunneled client's
+    dispatch AND transfer latency 15-250x, and deep async dispatch
+    queues cost ~2 s per program past ~8-16 in flight, so the only fast
+    shape is a shallow queue of fused programs with ONE readout at the
+    end (map_queries_cgi_finish).  HBM is O(n_slots x ref bins),
+    independent of the query-genome count, so the 1000-genome BASELINE
+    config streams zero-fetch; the reference's equivalent aggregation is
+    computeCoreIdentity.hpp:166-298 on host memory, once per query."""
     import jax
 
     from fastani_tpu.models import device_cgi
@@ -344,12 +373,14 @@ def map_queries_cgi_stream(queries, index: ReferenceIndex,
     stream = queries if isinstance(queries, FragmentStream) \
         else FragmentStream(queries, params)
     F = stream.F
-    starts = list(range(0, F, B))
+    starts, fins, tail, n_slots, fin_cap = cgi_stream_schedule(
+        stream, B, n_query_genomes)
     cgi = device_cgi.StreamingCGI(
         index, params, n_query_genomes, n_ref_genomes,
-        n_slots=max(n_query_genomes, 1), frag_cap=B,
+        n_slots=n_slots, frag_cap=B,
         donate=jax.default_backend() == "tpu")
-    fn = jit_mapper.fused_stream_fn(fuse_k, cgi) if starts else None
+    fn = jit_mapper.fused_stream_fin_fn(fuse_k, fin_cap, cgi) if starts \
+        else None
     fb_masks, counts_list = [], []
     for c0 in range(0, len(starts), fuse_k):
         grp = starts[c0:c0 + fuse_k]
@@ -357,22 +388,54 @@ def map_queries_cgi_stream(queries, index: ReferenceIndex,
         qno_k = np.zeros((fuse_k, B), np.int32)
         qsid_k = np.zeros((fuse_k, B), np.int32)
         rv_k = np.zeros((fuse_k, B), bool)
+        fin_k = np.full((fuse_k, fin_cap), -1, np.int32)
         for j, b0 in enumerate(grp):
             batch, qno_row, gid_row, n_used = stream.make_batch(b0, B)
             frags_k[j] = batch
             qno_k[j] = qno_row
             qsid_k[j] = gid_row
             rv_k[j, :n_used] = True
-        counts_k, fb_k = jit_mapper.dispatch_fused(
-            fn, frags_k, qno_k, qsid_k, rv_k, cgi)
+            fl = fins[c0 + j]
+            fin_k[j, :len(fl)] = fl
+        counts_k, fb_k = jit_mapper.dispatch_fused_fin(
+            fn, frags_k, qno_k, qsid_k, rv_k, fin_k, cgi)
         fb_masks.append(fb_k)
         counts_list.append(counts_k)
         if grp:
             nb = grp[-1] + B
             stream.evict_up_to(stream.qno_of_row(nb) if nb < F
                                else n_query_genomes)
+    # post-scan tail flush (enqueue-only; still no fetch)
+    for t0 in range(0, len(tail), fin_cap):
+        cgi.finalize_list(tail[t0:t0 + fin_cap], fin_cap)
     return CGIRunHandle(cgi, fb_masks, counts_list, stream, starts,
                         n_query_genomes, n_ref_genomes)
+
+
+def _redo_query_exact(qno: int, stream: "FragmentStream",
+                      index: ReferenceIndex, params: Parameters,
+                      jit_mapper):
+    """Exact recompute of ONE query genome's (counts, sums) result row.
+
+    Engages only when a fragment of the query overflowed the jitted
+    caps: the device stream excluded that whole fragment, and the 2-way
+    reciprocal dedupe couples fragments, so the query's entire
+    aggregation is redone — device map for the clean fragments + exact
+    host fallback for the overflowed ones + host CGI fold
+    (computeCoreIdentity.hpp:166-298 semantics, models/ani.py).  Rare by
+    construction (caps are sized for zero overflow at scale; bench
+    asserts fallback_frags == 0)."""
+    qf = stream.get_query(qno)
+    m = map_queries_batched([qf], index, params, jit_mapper)[0]
+    rows, _ = ani.compute_cgi_arrays(
+        m["ref_seq_id"], m["query_seq_id"], m["ref_start_pos"], m["ident"],
+        index.genome_of_seq(), params.frag_len, qno,
+        stream.total_fragments(qno), want_visual=False)
+    out = {}
+    for r in rows:
+        out[r.ref_genome] = (r.count_seq,
+                             np.float32(r.identity) * np.float32(r.count_seq))
+    return out
 
 
 def map_queries_cgi_finish(handle: CGIRunHandle, index: ReferenceIndex,
@@ -380,7 +443,7 @@ def map_queries_cgi_finish(handle: CGIRunHandle, index: ReferenceIndex,
                            stats: Optional[dict] = None):
     """Readout phase: the run's FIRST device->host fetches happen here —
     deferred build-overflow flag, fallback masks, diagnostics — then the
-    one-dispatch finalize and the (Gq, Gr) result fetch."""
+    (Gq, Gr) result fetch (per-query segments already closed in-scan)."""
     from fastani_tpu.utils import jitops
 
     cgi, stream, starts = handle.cgi, handle.stream, handle.starts
@@ -419,38 +482,37 @@ def map_queries_cgi_finish(handle: CGIRunHandle, index: ReferenceIndex,
         stats["fallback_frags"] = 0
     _mark("stats_fetch")
 
+    bad_qnos = set()
     if handle.fb_masks and jitops.any_of(handle.fb_masks):
         masks = jitops.fetch(jitops._concat()(
             tuple(handle.fb_masks)))[:len(starts)]
-        from fastani_tpu.ops import stats as _stats
-
         F = stream.F
+        n_fb = 0
         for i, b0 in enumerate(starts):
             n_used = min(B, F - b0)
-            fbr = np.nonzero(masks[i][:n_used])[0].astype(np.int32)
-            if not len(fbr):
-                continue
-            if stats is not None:
-                stats["fallback_frags"] = stats.get("fallback_frags", 0) \
-                    + len(fbr)
-            batch, qno_row, gid_row, _n = stream.make_batch(b0, B)
-            bm = glue.map_fallback_batch(batch[fbr], index, params)
-            if len(bm.frag):
-                _, upper = _stats.identities_for(bm.shared, bm.sketch,
-                                                 params.kmer_size)
-                keep = upper >= params.percentage_identity
-                rows = bm.frag[keep]
-                inj = np.stack([
-                    rows, qno_row[fbr[rows]], gid_row[fbr[rows]],
-                    bm.sid[keep], bm.shared[keep], bm.sketch[keep],
-                    bm.mean_pos[keep]]).astype(np.int32)
-                cgi.inject(inj)
+            fbr = np.nonzero(masks[i][:n_used])[0]
+            n_fb += len(fbr)
+            for r in fbr:
+                bad_qnos.add(stream.qno_of_row(b0 + int(r)))
+        if stats is not None:
+            stats["fallback_frags"] = n_fb
     _mark("fb_check")
-    cgi.finalize_all()
-    _mark("finalize")
-    res = cgi.result()
+    counts, sums = cgi.result()
     _mark("result_fetch")
-    return res
+    # affected query genomes (a fragment overflowed the jitted caps) are
+    # redone exactly and their result rows REPLACED — the in-scan
+    # finalize already closed their slots, so post-hoc injection is no
+    # longer possible (and a whole-query redo is exact where injection
+    # depended on the device rows staying resident)
+    for qno in sorted(bad_qnos):
+        counts[qno, :] = 0
+        sums[qno, :] = 0.0
+        for g, (c, s) in _redo_query_exact(qno, stream, index, params,
+                                           jit_mapper).items():
+            counts[qno, g] = c
+            sums[qno, g] = s
+    _mark("fb_redo")
+    return counts, sums
 
 
 def map_queries_cgi_device(queries: List[QueryFragments], index: ReferenceIndex,
@@ -466,135 +528,94 @@ def map_queries_cgi_device(queries: List[QueryFragments], index: ReferenceIndex,
     the host fold; byte-parity consumers use map_queries_batched +
     ani.compute_cgi_arrays instead.
 
-    Two modes:
-      * ZERO-FETCH (default when the bin table fits one slot per query
-        genome): the steady loop performs NO device->host transfer at
-        all — overflow/fallback masks stay on device, the CGI folds the
-        mapper's device counts vector directly, and queries finalize in
-        ONE dispatch at the end.  Rationale: the FIRST fetch of any
-        buffer permanently degrades the tunneled client's dispatch
-        latency ~250x (utils/jitops docstring), so fetches happen
-        exactly once, after the last dispatch.
-      * slot-recycling (Gq x bins too large for slot-per-query): per-
-        batch counts fetch, bounded-memory slot ring — round-3 behavior.
+    ZERO-FETCH at any scale: the steady loop performs NO device->host
+    transfer at all — overflow/fallback masks stay on device, the CGI
+    folds the mapper's device counts vector directly, and each query
+    genome's segment closes IN-SCAN as soon as its last fragment batch
+    has folded (slots recycle modulo a small ring, so HBM is independent
+    of the query count).  Rationale: the FIRST fetch of any buffer
+    permanently degrades the tunneled client's dispatch latency ~250x
+    (utils/jitops docstring), so fetches happen exactly once, after the
+    last dispatch.
 
     Reference parity: computeCoreIdentity.hpp:166-298 performs this
     aggregation on host memory per query file.
     """
-    import jax
-
-    from fastani_tpu.models import device_cgi
-    from fastani_tpu.utils import jitops
-
-    B = params.frag_batch
     stream = queries if isinstance(queries, FragmentStream) \
         else FragmentStream(queries, params)
-    F = stream.F
-    if not F:
+    if not stream.F:
         return (np.zeros((n_query_genomes, n_ref_genomes), np.int32),
                 np.zeros((n_query_genomes, n_ref_genomes), np.float32))
-    starts = list(range(0, F, B))
-    qno_of_row = stream.qno_of_row
+    handle = map_queries_cgi_stream(stream, index, params, jit_mapper,
+                                    n_query_genomes, n_ref_genomes)
+    return map_queries_cgi_finish(handle, index, params, jit_mapper,
+                                  stats=stats)
 
-    def _rerun_host_exact():
-        # deferred build overflow (degenerate repeat input): rebuild the
-        # index exactly on host and redo the mapping (rare)
-        from fastani_tpu.models import jitmap as _jm
 
-        host_index = type(index).build(params)
-        uf = max(1, jit_mapper.cfg.unit_cap // max(B, 1))
-        mapper2 = _jm.JitMapper(params, host_index, unit_factor=uf,
-                                unit_chunk=jit_mapper.cfg.unit_chunk)
-        return map_queries_cgi_device(stream, host_index, params, mapper2,
-                                      n_query_genomes, n_ref_genomes,
-                                      stats=stats)
+def run_fast(params: Parameters,
+             log=lambda msg: print(msg, file=sys.stderr),
+             stats: Optional[dict] = None) -> List[ani.CGIResult]:
+    """THROUGHPUT CLI path: device index build + fused zero-fetch
+    map+CGI stream + single readout — the bench-proven program shape as
+    the product default for ``--backend jax`` (``--exact`` forces the
+    byte-parity host aggregation of run()).  ANI equals the exact path's
+    within float32 summation order (well inside the 0.1-ANI contract);
+    counts and the minFraction output gate are identical.
 
-    def _inject_fallbacks(b0, frag_rows_mask):
-        # exact batched recompute of overflowed fragments, injected as one
-        # 1-way group (local fragment ids keep per-fragment dedupe)
-        batch, qno_row, gid_row, n_used = stream.make_batch(b0, B)
-        fbr = np.nonzero(frag_rows_mask[:n_used])[0].astype(np.int32)
-        if not len(fbr):
-            return
-        bm = glue.map_fallback_batch(batch[fbr], index, params)
-        if len(bm.frag):
-            from fastani_tpu.ops import stats as _stats
+    Reference: one CLI covers full capability (parseCmdArgs.hpp:114-234);
+    the aggregation replaced here is computeCoreIdentity.hpp:166-298.
+    """
+    import jax
 
-            _, upper = _stats.identities_for(bm.shared, bm.sketch,
-                                             params.kmer_size)
-            keep = upper >= params.percentage_identity
-            rows = bm.frag[keep]
-            inj = np.stack([
-                rows, qno_row[fbr[rows]], gid_row[fbr[rows]],
-                bm.sid[keep], bm.shared[keep], bm.sketch[keep],
-                bm.mean_pos[keep]]).astype(np.int32)
-            cgi.inject(inj)
+    from fastani_tpu.config import scale_caps
+    from fastani_tpu.models import jitmap
 
-    # ---- zero-fetch mode ---------------------------------------------------
-    bin_start, gid_of_bin = device_cgi.make_bin_tables(
-        [c.length for c in index.metadata], index.genome_of_seq(),
-        params.frag_len)
-    pure_bytes = n_query_genomes * len(gid_of_bin) * 4
-    pure = pure_bytes <= _PURE_BYTES_LIMIT
-    if pure:
-        handle = map_queries_cgi_stream(stream, index, params, jit_mapper,
-                                        n_query_genomes, n_ref_genomes)
-        return map_queries_cgi_finish(handle, index, params, jit_mapper,
-                                      stats=stats)
+    params.finalize()
+    G = len(params.ref_sequences)
+    scale_caps(G, params)
+    t0 = time.time()
+    if jax.default_backend() == "tpu":
+        from fastani_tpu.utils import jitops
 
-    # ---- slot-recycling mode ----------------------------------------------
-    # size the slot ring to the max distinct query genomes per batch
-    n_slots = 1
-    for b0 in starts:
-        n_slots = max(n_slots,
-                      qno_of_row(min(b0 + B, F) - 1) - qno_of_row(b0) + 1)
-    cgi = device_cgi.StreamingCGI(
-        index, params, n_query_genomes, n_ref_genomes, n_slots,
-        frag_cap=B, donate=jax.default_backend() == "tpu")
+        jitops.engage_sync()   # sync mode IS the fast mode
+    if params.load_index:
+        index = ReferenceIndex.load(params.load_index, params)
+        log(f"INFO, fastani_tpu, reference index restored from "
+            f"{params.load_index} in {time.time()-t0:.2f}s")
+    else:
+        index = ReferenceIndex.build_device(params)
+        log(f"INFO, fastani_tpu, reference sketched on device in "
+            f"{time.time()-t0:.2f}s (window size {params.window_size}; "
+            f"counts deferred)")
+    if params.save_index:
+        index.host_view().save(params.save_index)
+        log(f"INFO, fastani_tpu, reference index saved to "
+            f"{params.save_index}")
 
-    next_fin = 0  # first not-yet-finalized query genome
+    t0 = time.time()
+    uf = max(G + 2, int(1.7 * G) + 8)
+    mapper = jitmap.JitMapper(params, index, unit_factor=uf,
+                              unit_chunk=min(512, params.frag_batch))
+    stream = FragmentStream(list(params.query_sequences), params)
+    n_q = len(stream.queries)
+    counts, sums = map_queries_cgi_device(stream, index, params, mapper,
+                                          n_q, G, stats=stats)
+    log(f"INFO, fastani_tpu, mapped {n_q} queries ({stream.F} fragments) "
+        f"+ device CGI in {time.time()-t0:.2f}s")
 
-    def handle_result(b0, qno_row, gid_row, packed, n_valid, fb):
-        nonlocal next_fin
-        n_used = min(B, F - b0)
-        # device-side exclusion already removed pad/fallback rows
-        cgi.update(packed, n_valid)
-        if len(fb):
-            mask = np.zeros(B, bool)
-            mask[[f for f in fb if int(f) < n_used]] = True
-            _inject_fallbacks(b0, mask)
-        # close every query genome whose fragments all precede the next
-        # batch (slots recycle modulo n_slots)
-        nb = b0 + B
-        fin_to = qno_of_row(nb) if nb < F else n_query_genomes
-        while next_fin < fin_to:
-            cgi.finalize_query(next_fin)
-            next_fin += 1
-        stream.evict_up_to(next_fin)         # drop consumed lazy queries
-
-    inflight = []
-    for b0 in starts:
-        batch, qno_row, gid_row, _n = stream.make_batch(b0, B)
-        # pass only the true rows: dispatch() re-pads to B and marks
-        # row_valid[:_n] — all-zero pad rows of the final partial batch
-        # must NOT map (a >= k A-run in a reference would otherwise give
-        # them spurious hits folded into query genome 0)
-        inflight.append((b0, qno_row, gid_row,
-                         jit_mapper.dispatch(batch[:_n], qno_row[:_n],
-                                             gid_row[:_n])))
-        if len(inflight) >= 2:
-            p0, qr, gr, h = inflight.pop(0)
-            handle_result(p0, qr, gr,
-                          *jit_mapper.collect_device(h, stats=stats))
-    for p0, qr, gr, h in inflight:
-        handle_result(p0, qr, gr,
-                      *jit_mapper.collect_device(h, stats=stats))
-    if index.check_build_overflow():
-        return _rerun_host_exact()
-    while next_fin < n_query_genomes:
-        cgi.finalize_query(next_fin)
-        next_fin += 1
-    return cgi.result()
+    final = ani.results_from_matrices(counts, sums, stream.total_fragments)
+    if params.out_file_name:
+        genome_lengths: Dict[str, int] = {}
+        for e in list(params.query_sequences) + list(params.ref_sequences):
+            if e not in genome_lengths:
+                genome_lengths[e] = fasta.genome_length_for_ani(
+                    e, params.frag_len)
+        output.write_cgi(final, genome_lengths, params,
+                         params.out_file_name)
+        if params.matrix_output:
+            output.write_phylip(final, genome_lengths, params,
+                                params.out_file_name)
+    return final
 
 
 def run(params: Parameters, backend: str = "numpy",

@@ -94,12 +94,13 @@ def multihost_mesh(n_r: Optional[int] = None, n_q: Optional[int] = None):
         n_r = max(jax.process_count(), 1)
     if n_q is None:
         n_q = n // n_r
-    assert n_r * n_q == n, f"mesh {n_r}x{n_q} != {n} devices"
+    assert 0 < n_r * n_q <= n, f"mesh {n_r}x{n_q} needs > {n} devices"
     # order devices so the r axis groups each process's devices together:
-    # index sharding stays host-local, q collectives ride intra-host ICI
+    # index sharding stays host-local, q collectives ride intra-host ICI;
+    # a sub-mesh (n_r * n_q < n) uses the first devices in that order
     order = np.argsort([(d.process_index, d.id) for d in devs.tolist()],
                        axis=0)[:, 0] if n > 1 else np.arange(n)
-    return Mesh(devs[order].reshape(n_r, n_q), ("r", "q"))
+    return Mesh(devs[order][: n_r * n_q].reshape(n_r, n_q), ("r", "q"))
 
 
 def local_ref_shards(ref_files: Sequence[str], n_r: int,

@@ -474,6 +474,126 @@ def make_sharded_rows_step(cfg: jitmap.MapperConfig, mesh: Mesh, s_max: int,
     return jax.jit(fn)
 
 
+def make_fused_mesh_stream_step(cfg: jitmap.MapperConfig, mesh: Mesh,
+                                K: int, fin_cap: int, n_slots: int,
+                                n_qg: int, G: int, frag_len: int,
+                                B_local: int):
+    """ZERO-FETCH fused stream step over the (r, q) mesh — the multi-chip
+    port of the single-device fused design (models/jitmap.
+    fused_stream_fin_fn): ONE jitted program maps K fragment sub-batches
+    per device against its r-shard, folds each into a device-local
+    slot/bin table (exact per-batch 1-way dedupe + 2-way scatter-max,
+    device_cgi.update_tab), and closes finished query genomes IN-SCAN —
+    merging the per-bin running max across the q axis with lax.pmax
+    before occupancy is counted (device_cgi.finalize_rows(q_axis="q")),
+    so the (Gq, G_local) accumulators stay replicated along q and the
+    whole run needs ONE readout.  This replaces the per-query dispatch +
+    host gather of the rows step for throughput runs (the reference's
+    parallel scale story: omp shard loop core_genome_identity.cpp:55-121
+    + splitDatabase.sh multi-node).
+
+    Global shapes: frags_k (K, n_q, B_local, L) sharded P(None, "q");
+    qno/qsid/rv_k (K, n_q, B_local); fin_k (K, fin_cap) replicated;
+    tab (n_r, n_q, n_slots, B_cap) and acc_c/acc_s (n_r, n_q, Gq, G)
+    sharded P("r", "q") and donated.  Returns
+    (tab', acc_c', acc_s', counts_k (n_r, n_q, K, 10),
+    fb_k (n_r, n_q, K, B_local)).
+    """
+    packed_mode = cfg.wpos_bits is not None
+
+    def local_step(frags_k, qno_k, qsid_k, rv_k, fin_k, tab, acc_c, acc_s,
+                   ia, min_hits, gate, ident_lut):
+        from fastani_tpu.models import device_cgi
+
+        sq = lambda a: a.reshape(a.shape[1:])      # drop r block axis
+        tab = tab.reshape(tab.shape[2:])           # (n_slots, B_cap)
+        acc_c = acc_c.reshape(acc_c.shape[2:])     # (n_qg, G)
+        acc_s = acc_s.reshape(acc_s.shape[2:])
+        sqq = lambda a: a.reshape((a.shape[0],) + a.shape[2:])  # drop q
+        frags_k = sqq(frags_k)                     # (K, B_local, L)
+        qno_k, qsid_k, rv_k = sqq(qno_k), sqq(qsid_k), sqq(rv_k)
+        gos1 = sq(ia["genome_of_seq"])
+        bs = sq(ia["bin_start"])
+        gid_of_bin = sq(ia["gid_of_bin"])
+        no_excl = jnp.zeros(B_local, bool)
+
+        def body(carry, xs):
+            tab, acc_c, acc_s = carry
+            frags, qno_row, qsid_row, rv, fin = xs
+            tab, acc_c, acc_s = device_cgi.finalize_rows(
+                tab, acc_c, acc_s, fin, gid_of_bin, n_slots, n_qg, G,
+                q_axis="q")
+            out = jitmap.map_step_packed(
+                cfg, frags, sq(ia["occ_hash"]), sq(ia["occ_sid"]),
+                sq(ia["occ_wpos"]), sq(ia["mi_hash"]), sq(ia["mi_sid"]),
+                sq(ia["mi_wpos"]), sq(ia["seq_start"]), min_hits, gate,
+                n_occ=sq(ia["n_occ"]),
+                occ_packed=sq(ia["occ_packed"]) if packed_mode else None,
+                mi_packed=sq(ia["mi_packed"]) if packed_mode else None,
+                mi_prev=sq(ia["mi_prev"]), mi_nxt=sq(ia["mi_nxt"]),
+                occ_lut=sq(ia["occ_lut"]) if packed_mode else None,
+                mi_lut=sq(ia["mi_lut"]) if packed_mode else None,
+                qno_row=qno_row, qsid_row=qsid_row, row_valid=rv,
+                freq_threshold=sq(ia["freq_threshold"]))
+            tab = device_cgi.update_tab(
+                tab, out["packed"], out["counts"], no_excl, gos1, bs,
+                ident_lut, frag_len, n_slots, G, B_local)
+            return (tab, acc_c, acc_s), (out["counts"],
+                                         out["fallback_mask"])
+
+        (tab, acc_c, acc_s), (counts_k, fb_k) = jax.lax.scan(
+            body, (tab, acc_c, acc_s),
+            (frags_k, qno_k, qsid_k, rv_k, fin_k))
+        add2 = lambda a: a[None, None]
+        return (add2(tab), add2(acc_c), add2(acc_s), add2(counts_k),
+                add2(fb_k))
+
+    idx_specs = {name: P("r", None) for name in (
+        "occ_hash", "occ_sid", "occ_wpos", "mi_hash", "mi_sid", "mi_wpos",
+        "occ_packed", "mi_packed", "occ_lut", "mi_lut", "mi_prev",
+        "mi_nxt", "seq_start", "genome_of_seq", "bin_start", "sid_of_bin",
+        "gid_of_bin")}
+    idx_specs["n_occ"] = P("r")
+    idx_specs["freq_threshold"] = P("r")
+    dev4 = P("r", "q", None, None)
+    fn = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(None, "q", None, None), P(None, "q", None),
+                  P(None, "q", None), P(None, "q", None), P(),
+                  dev4, dev4, dev4, idx_specs, P(), P(), P()),
+        out_specs=(dev4, dev4, dev4, dev4, dev4),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(5, 6, 7))
+
+
+def make_mesh_finalize_step(mesh: Mesh, fin_cap: int, n_slots: int,
+                            n_qg: int, G: int):
+    """Post-scan tail flush on the mesh: finalize the listed query
+    genomes' slots (q-axis pmax merge) in one dispatch."""
+
+    def local_fin(fin, tab, acc_c, acc_s, gid_of_bin):
+        from fastani_tpu.models import device_cgi
+
+        tab2 = tab.reshape(tab.shape[2:])
+        acc_c2 = acc_c.reshape(acc_c.shape[2:])
+        acc_s2 = acc_s.reshape(acc_s.shape[2:])
+        gb = gid_of_bin.reshape(gid_of_bin.shape[1:])
+        tab2, acc_c2, acc_s2 = device_cgi.finalize_rows(
+            tab2, acc_c2, acc_s2, fin, gb, n_slots, n_qg, G, q_axis="q")
+        add2 = lambda a: a[None, None]
+        return add2(tab2), add2(acc_c2), add2(acc_s2)
+
+    dev4 = P("r", "q", None, None)
+    fn = jax.shard_map(
+        local_fin, mesh=mesh,
+        in_specs=(P(), dev4, dev4, dev4, P("r", None)),
+        out_specs=(dev4, dev4, dev4),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(1, 2, 3))
+
+
 def make_sharded_step(cfg: jitmap.MapperConfig, mesh: Mesh, s_max: int, k: int,
                       perc_identity: float, frag_len: int, max_local_genomes: int):
     """Build the jitted sharded many-to-many step for ONE query genome.

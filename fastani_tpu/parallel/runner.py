@@ -92,6 +92,246 @@ def _shard_sanity(sidx, max_ratio_diff: float):
     return ok, diffs
 
 
+def _write_outputs(final: List[ani.CGIResult], params: Parameters) -> None:
+    from fastani_tpu.io import fasta
+
+    genome_lengths = {}
+    for e in list(params.query_sequences) + list(params.ref_sequences):
+        if e not in genome_lengths:
+            genome_lengths[e] = fasta.genome_length_for_ani(
+                e, params.frag_len)
+    output.write_cgi(final, genome_lengths, params, params.out_file_name)
+    if params.matrix_output:
+        output.write_phylip(final, genome_lengths, params,
+                            params.out_file_name)
+
+
+def run_sharded_fused(params: Parameters, n_r: Optional[int] = None,
+                      n_q: Optional[int] = None,
+                      coordinator: Optional[str] = None,
+                      num_processes: Optional[int] = None,
+                      process_id: Optional[int] = None,
+                      backend: str = "jax", fuse_k: int = 16,
+                      stats: Optional[dict] = None,
+                      log=lambda m: print(m, file=sys.stderr)
+                      ) -> List[ani.CGIResult]:
+    """THROUGHPUT sharded run: the fused zero-fetch device-CGI stream on
+    the (r, q) mesh.
+
+    The whole mapping+aggregation runs as few large jitted programs
+    (parallel/mesh.make_fused_mesh_stream_step — K batches per dispatch,
+    in-scan query finalize, q-axis pmax merge) with ONE readout of the
+    per-shard (Gq, G_local) accumulators at the end — no per-query
+    dispatch and no per-query host gather, the program shape the
+    platform's latency model requires (utils/jitops docstring).  ANI
+    values equal the exact path's within float32 summation order
+    (BASELINE 0.1-ANI tolerance); byte-parity/--visualize runs use
+    run_sharded (the rows step + exact host fold).
+
+    Reference parity: the omp shard loop + critical merge
+    (core_genome_identity.cpp:55-121) and splitDatabase.sh multi-node
+    scale-out, replaced by jax collectives over the mesh.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fastani_tpu.models import device_cgi, pipeline
+    from fastani_tpu.ops import stats as mstats
+    from fastani_tpu.utils import jitops
+    from jax.sharding import PartitionSpec as P
+
+    pid = distributed.initialize(coordinator, num_processes, process_id)
+    params.finalize()
+    plan = distributed.plan(params.ref_sequences, n_r, n_q)
+    n_r, n_q = plan.n_r, plan.n_q
+    log(f"INFO, fastani_tpu, fused sharded run on a {n_r}x{n_q} (r, q) "
+        f"mesh, process {pid}/{jax.process_count()}")
+
+    t0 = time.time()
+    multi = jax.process_count() > 1
+    rows_own = plan.my_r_rows if multi else None
+    device_build = (backend == "jax" and jax.default_backend() == "tpu")
+    shards = pmesh.build_shards(
+        params, params.ref_sequences, n_r, rows=rows_own,
+        device=device_build, save_prefix=params.save_index,
+        load_prefix=params.load_index)
+    dims = pmesh.local_shard_dims(shards, params.ref_sequences, n_r,
+                                  params.frag_len)
+    if multi:
+        dims = distributed.allgather_shard_dims(dims)
+    sidx = pmesh.build_sharded_index(
+        params, params.ref_sequences, n_r, rows=rows_own, shards=shards,
+        dims=dims)
+    log(f"INFO, fastani_tpu, {len(sidx.owned_rows)} of {n_r} reference "
+        f"shards sketched in {time.time()-t0:.2f}s")
+
+    sane = np.ones(n_r, bool)
+    if params.sanity_check:
+        sane, diffs = _shard_sanity(sidx, params.max_ratio_diff)
+        for r in range(n_r):
+            if not sane[r]:
+                log(f"ERROR :: SPLIT {r}'s ratio difference {diffs[r]} "
+                    f"exceeds maximum thresholds.")
+        for r in np.nonzero(~sane)[0]:
+            if sidx.owned_rows is None or r in sidx.owned_rows:
+                sidx.occ_hash[r] = 0xFFFFFFFF
+                sidx.n_occ[r] = 0
+
+    stream = pipeline.FragmentStream(list(params.query_sequences), params)
+    n_queries = len(stream.queries)
+    G = sidx.max_local_genomes
+    B_local = max(1, -(-params.frag_batch // n_q))
+    B_global = B_local * n_q
+    L = params.frag_len
+    starts, fins, tail, n_slots, fin_cap = pipeline.cgi_stream_schedule(
+        stream, B_global, n_queries)
+
+    uf = max(4, int(1.7 * G) + 8)
+    cfg = jitmap.MapperConfig.from_params(params, sidx.freq_threshold)
+    cfg = dataclasses.replace(
+        cfg, unit_cap=min(B_local * uf, B_local * params.cand_cap),
+        unit_chunk=min(512, max(8, B_local)),
+        wpos_bits=sidx.wpos_bits,
+        occ_rounds=sidx.occ_rounds, mi_rounds=sidx.mi_rounds)
+    s_max = params.sketch_cap
+    place = lambda a, spec: distributed._place(plan, a, spec)
+    rep = P()
+    min_hits = place(np.asarray(mstats.min_hits_lut(
+        params.kmer_size, params.percentage_identity, s_max)), rep)
+    gate = place(np.asarray(jitmap.gate_lut_np(
+        params.kmer_size, params.percentage_identity, s_max)), rep)
+    ident_lut = place(np.asarray(device_cgi.identity_lut_full(
+        params.kmer_size, s_max)), rep)
+    idx_arrays = distributed.shard_index_arrays(plan, sidx)
+    idx_arrays.pop("n_genomes", None)
+
+    B_cap = sidx.gid_of_bin.shape[1]
+    dev4 = P("r", "q", None, None)
+    tab = place(np.full((n_r, n_q, n_slots, B_cap), -1, np.int32), dev4)
+    acc_c = place(np.zeros((n_r, n_q, n_queries, G), np.int32), dev4)
+    acc_s = place(np.zeros((n_r, n_q, n_queries, G), np.float32), dev4)
+
+    step = pmesh.make_fused_mesh_stream_step(
+        cfg, plan.mesh, fuse_k, fin_cap, n_slots, n_queries, G, L,
+        B_local)
+    fin_step = pmesh.make_mesh_finalize_step(plan.mesh, fin_cap, n_slots,
+                                             n_queries, G)
+
+    t0 = time.time()
+    F = stream.F
+    counts_list, fb_list = [], []
+    q_spec3 = P(None, "q", None)
+    for c0 in range(0, len(starts), fuse_k):
+        grp = starts[c0:c0 + fuse_k]
+        frags_k = np.zeros((fuse_k, B_global, L), np.uint8)
+        qno_k = np.zeros((fuse_k, B_global), np.int32)
+        qsid_k = np.zeros((fuse_k, B_global), np.int32)
+        rv_k = np.zeros((fuse_k, B_global), bool)
+        fin_k = np.full((fuse_k, fin_cap), -1, np.int32)
+        for j, b0 in enumerate(grp):
+            batch, qno_row, gid_row, n_used = stream.make_batch(b0,
+                                                                B_global)
+            frags_k[j] = batch
+            qno_k[j] = qno_row
+            qsid_k[j] = gid_row
+            rv_k[j, :n_used] = True
+            fl = fins[c0 + j]
+            fin_k[j, :len(fl)] = fl
+        shape4 = (fuse_k, n_q, B_local)
+        tab, acc_c, acc_s, counts_k, fb_k = step(
+            place(frags_k.reshape(shape4 + (L,)),
+                  P(None, "q", None, None)),
+            place(qno_k.reshape(shape4), q_spec3),
+            place(qsid_k.reshape(shape4), q_spec3),
+            place(rv_k.reshape(shape4), q_spec3),
+            place(fin_k, rep), tab, acc_c, acc_s, idx_arrays, min_hits,
+            gate, ident_lut)
+        counts_list.append(counts_k)
+        fb_list.append(fb_k)
+        if grp:
+            nb = grp[-1] + B_global
+            stream.evict_up_to(stream.qno_of_row(nb) if nb < F
+                               else n_queries)
+    for t0f in range(0, len(tail), fin_cap):
+        buf = np.full(fin_cap, -1, np.int32)
+        chunk = tail[t0f:t0f + fin_cap]
+        buf[:len(chunk)] = chunk
+        tab, acc_c, acc_s = fin_step(place(buf, rep), tab, acc_c, acc_s,
+                                     idx_arrays["gid_of_bin"])
+
+    # ---- single readout ---------------------------------------------------
+    acc_c_h, acc_s_h = distributed.gather_rows(acc_c, acc_s)
+    if stats is not None and counts_list:
+        cm = np.stack([np.asarray(jitops.fetch(c)) for c in counts_list])
+        for i, key in enumerate((
+                "n_valid", "sk_overflow", "l1_overflow", "l2_overflow",
+                "unit_overflow", "max_hits", "max_groups", "max_s",
+                "max_span", "n_units")):
+            stats[key] = int(cm[..., i].max()) if cm.size else 0
+        stats["batches"] = len(starts)
+        stats["fallback_frags"] = 0
+
+    n_ref = len(params.ref_sequences)
+    counts = np.zeros((n_queries, n_ref), np.int64)
+    sums = np.zeros((n_queries, n_ref), np.float32)
+    for r in range(n_r):
+        n_local = len(pmesh.shard_files(params.ref_sequences, n_r, r))
+        if n_local:
+            gcols = np.arange(n_local) * n_r + r    # correctRefGenomeIds
+            counts[:, gcols] = acc_c_h[r, 0][:, :n_local]
+            sums[:, gcols] = acc_s_h[r, 0][:, :n_local]
+
+    # fallback redo: query genomes with cap-overflowed fragments are
+    # recomputed exactly per shard on host and their rows replaced (rare;
+    # bench asserts zero)
+    if fb_list and jitops.any_of(fb_list):
+        bad_qnos = set()
+        n_fb = 0
+        for g, fb in enumerate(fb_list):
+            m = np.asarray(jitops.fetch(fb))     # (n_r, n_q, K, B_local)
+            hit = m.any(axis=0)                  # (n_q, K, B_local)
+            for qd, kk, row in zip(*np.nonzero(hit)):
+                b0 = starts[g * fuse_k + int(kk)]
+                grow = b0 + int(qd) * B_local + int(row)
+                if grow < F:
+                    n_fb += 1
+                    bad_qnos.add(stream.qno_of_row(grow))
+        if stats is not None:
+            stats["fallback_frags"] = n_fb
+        if bad_qnos:
+            from fastani_tpu.index.sketch import ReferenceIndex
+            from fastani_tpu.models import ani as _ani
+
+            for qno in sorted(bad_qnos):
+                counts[qno, :] = 0
+                sums[qno, :] = 0.0
+                qf = stream.get_query(qno)
+                for r in range(n_r):
+                    ix = shards.get(r)
+                    if ix is None:
+                        ix = ReferenceIndex.build(
+                            params, pmesh.shard_files(
+                                params.ref_sequences, n_r, r))
+                    mappings = pipeline.map_query(qf, ix, params,
+                                                  backend="numpy")
+                    rws, _ = _ani.compute_cgi(
+                        mappings, ix.genome_of_seq(), params.frag_len,
+                        qno, qf.total_fragments)
+                    for cg in rws:
+                        gidg = cg.ref_genome * n_r + r
+                        counts[qno, gidg] = cg.count_seq
+                        sums[qno, gidg] = (np.float32(cg.identity)
+                                           * np.float32(cg.count_seq))
+    log(f"INFO, fastani_tpu, mapped {n_queries} queries "
+        f"({F} fragments) on the fused mesh in {time.time()-t0:.2f}s")
+
+    final = ani.results_from_matrices(counts, sums,
+                                      stream.total_fragments)
+    if pid == 0 and params.out_file_name:
+        _write_outputs(final, params)
+    return final
+
+
 def run_sharded(params: Parameters, n_r: Optional[int] = None,
                 n_q: Optional[int] = None,
                 coordinator: Optional[str] = None,
@@ -177,7 +417,8 @@ def run_sharded(params: Parameters, n_r: Optional[int] = None,
             unit_factor=max(4, sidx.max_local_genomes + 2))
         return dataclasses.replace(
             cfg,
-            unit_cap=F_local * max(4, sidx.max_local_genomes + 2),
+            unit_cap=min(F_local * max(4, sidx.max_local_genomes + 2),
+                         F_local * params.cand_cap),
             unit_chunk=min(128, max(8, F_local)),
             wpos_bits=sidx.wpos_bits,
             occ_rounds=sidx.occ_rounds, mi_rounds=sidx.mi_rounds)

@@ -61,6 +61,35 @@ def write_fasta(path: str, contigs, line_width: int = 70) -> None:
                 f.write(b[i : i + line_width] + b"\n")
 
 
+def write_fasta_gz(path: str, contigs, line_width: int = 70) -> None:
+    """Gzipped FASTA (kseq.h reads via gzFile; plain files pass through)."""
+    import gzip
+    import io
+
+    buf = io.BytesIO()
+    for name, seq in contigs:
+        buf.write(b">" + name.encode() + b"\n")
+        b = seq.tobytes()
+        for i in range(0, len(b), line_width):
+            buf.write(b[i : i + line_width] + b"\n")
+    with gzip.open(path, "wb") as f:
+        f.write(buf.getvalue())
+
+
+def write_fastq(path: str, contigs, gz: bool = False) -> None:
+    """FASTQ records (one per contig, constant quality); kseq.h parses
+    FASTA and FASTQ through the same state machine."""
+    import gzip
+
+    opener = gzip.open if gz else open
+    with opener(path, "wb") as f:
+        for name, seq in contigs:
+            b = seq.tobytes()
+            f.write(b"@" + name.encode() + b"\n")
+            f.write(b + b"\n+\n")
+            f.write(b"I" * len(b) + b"\n")
+
+
 def ensure_oracle() -> str:
     """Build the reference binary (out of tree) once; returns its path."""
     if ORACLE_BIN.exists():

@@ -219,10 +219,11 @@ def test_lazy_path_ingest_matches_preloaded(tmp_path):
     np.testing.assert_allclose(got_s, want_s, rtol=1e-6)
 
 
-def test_pure_mode_matches_slot_recycling(tmp_path, monkeypatch):
-    """The zero-fetch fused path (slot per query, finalize_all) and the
-    bounded-memory slot-recycling path must produce identical tallies —
-    same fold values, same per-query addition order."""
+def test_stream_invariant_to_fuse_grouping(tmp_path):
+    """The in-scan-finalize stream must produce BITWISE identical
+    tallies for any fuse_k grouping of the same batch sequence (the
+    per-batch finalize/update order is the invariant, not the program
+    grouping)."""
     from tests import synth
 
     from fastani_tpu.config import Parameters
@@ -243,19 +244,22 @@ def test_pure_mode_matches_slot_recycling(tmp_path, monkeypatch):
     index = ReferenceIndex.build(params)
     mapper = jitmap.JitMapper(params, index, unit_factor=5, unit_chunk=16)
     queries = [pipeline.load_query_fragments(p, params) for p in paths]
+    G = len(paths)
 
-    c_pure, s_pure = pipeline.map_queries_cgi_device(
-        queries, index, params, mapper, len(paths), len(paths))
-    monkeypatch.setattr(pipeline, "_PURE_BYTES_LIMIT", 0)
-    c_rec, s_rec = pipeline.map_queries_cgi_device(
-        queries, index, params, mapper, len(paths), len(paths))
-    np.testing.assert_array_equal(c_pure, c_rec)
-    np.testing.assert_array_equal(s_pure, s_rec)
-    assert c_pure.sum() > 0
+    results = []
+    for fuse_k in (1, 4):
+        h = pipeline.map_queries_cgi_stream(queries, index, params, mapper,
+                                            G, G, fuse_k=fuse_k)
+        results.append(pipeline.map_queries_cgi_finish(h, index, params,
+                                                       mapper))
+    (c1, s1), (c4, s4) = results
+    np.testing.assert_array_equal(c1, c4)
+    np.testing.assert_array_equal(s1, s4)
+    assert c1.sum() > 0
 
 
-def test_recycling_excludes_pad_rows_of_partial_batch(tmp_path, monkeypatch):
-    """Regression (advisor r4, high): the slot-recycling path must mark
+def test_stream_excludes_pad_rows_of_partial_batch(tmp_path, monkeypatch):
+    """Regression (advisor r4, high): the device-CGI stream must mark
     rows past n_used of the final PARTIAL batch invalid — their content
     is out of contract (zero fill today, but the row_valid mask is the
     guarantee, not the fill).  To make a violation observable, pad rows
@@ -309,12 +313,7 @@ def test_recycling_excludes_pad_rows_of_partial_batch(tmp_path, monkeypatch):
         for r in rows:
             want_c[q, r.ref_genome] = r.count_seq
 
-    c_pure, s_pure = pipeline.map_queries_cgi_device(
+    c_dev, s_dev = pipeline.map_queries_cgi_device(
         queries, index, params, mapper, len(paths), len(paths))
-    monkeypatch.setattr(pipeline, "_PURE_BYTES_LIMIT", 0)
-    c_rec, s_rec = pipeline.map_queries_cgi_device(
-        queries, index, params, mapper, len(paths), len(paths))
-    np.testing.assert_array_equal(c_pure, want_c)
-    np.testing.assert_array_equal(c_rec, want_c)
-    np.testing.assert_array_equal(s_pure, s_rec)
+    np.testing.assert_array_equal(c_dev, want_c)
     assert want_c.sum() > 0

@@ -132,6 +132,35 @@ def test_repeat_sanity_check_zero_rows(workdir, backend):
         _read_sorted(wd / f"r_ref_{backend}.txt") == []
 
 
+def test_fast_path_ani_close_to_reference(workdir):
+    """The product fast path (--backend jax WITHOUT --exact: device index
+    build + fused zero-fetch device CGI) vs the reference binary: same
+    row set, identical mapped/total fragment counts, ANI within the
+    BASELINE 0.1 tolerance (float32 summation order is the only
+    difference by construction)."""
+    wd = workdir
+    synth.run_oracle(str(wd), ["-q", "multi.fa", "--rl", "refs.txt",
+                               "-o", "fastref.txt"])
+    run_ours(wd, ["-q", "multi.fa", "--rl", "refs.txt",
+                  "-o", "fastour.txt"], "jax")
+
+    def parse(fp):
+        out = {}
+        for ln in open(fp):
+            q, r, ani_v, cnt, tot = ln.split("\t")
+            out[(os.path.basename(q), os.path.basename(r))] = (
+                float(ani_v), int(cnt), int(tot))
+        return out
+
+    ref = parse(wd / "fastref.txt")
+    ours = parse(wd / "fastour.txt")
+    assert set(ref) == set(ours) and ref
+    for key, (ani_r, cnt_r, tot_r) in ref.items():
+        ani_o, cnt_o, tot_o = ours[key]
+        assert abs(ani_r - ani_o) < 0.1, key
+        assert (cnt_r, tot_r) == (cnt_o, tot_o), key
+
+
 def test_visual_offsets_short_contig_both_orders(workdir, backend):
     """Byte-parity of .visual global query offsets when a short
     (unmappable) contig precedes or follows the mapped contig — the

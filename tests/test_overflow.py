@@ -87,7 +87,7 @@ def test_cli_overflow_byte_identical(tmp_path, monkeypatch):
         starved["engaged"] += 1
 
     monkeypatch.setattr(jitmap.JitMapper, "__init__", patched)
-    assert cli.main(base + ["-o", b, "--backend", "jax"]) == 0
+    assert cli.main(base + ["-o", b, "--backend", "jax", "--exact"]) == 0
     assert starved["engaged"] > 0
     assert open(a).read() == open(b).read()
     assert open(a + ".matrix").read() == open(b + ".matrix").read()
