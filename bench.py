@@ -8,8 +8,14 @@ device->host link degrades the artifact to "partial" instead of "null":
     1. quick  —   8x8 @ 1 Mbp (rounds 1-3 continuity metric)
     2. mid    —  32x32 @ 3 Mbp (reference baseline measured directly)
     3. full   — 100x100 @ 3 Mbp (BASELINE.json many-to-many config;
-                 baseline extrapolated linearly in pairs from mid, which
-                 favors the reference since its index build amortizes)
+                 baseline from the committed measured cache when present.
+                 The linear-in-pairs extrapolation fallback FLATTERS this
+                 repo: the reference's O(n) index build amortizes at
+                 n=100, so its true full-scale pairs/s is HIGHER than the
+                 mid-scale rate — prefer the measured cache entry)
+    4. mesh_mid — mid config through the fused (r, q)-mesh stream at
+                 --mesh 1x1 (proves the sharded program shape amortizes
+                 on this platform; multi-chip hardware unavailable)
 
 Each milestone runs ONE-SHOT in its OWN SUBPROCESS.  Rationale
 (measured, round 4 — utils/jitops docstring): on the tunneled TPU the
@@ -65,6 +71,11 @@ _DEADLINE = [float("inf")]
 MILESTONES = {
     "quick": dict(n=8, size=1_000_000),
     "mid": dict(n=32, size=3_000_000),
+    # mid config through the fused (r, q)-mesh stream: --mesh 1x1 on the
+    # single real chip proves the sharded program shape amortizes (the
+    # round-4 mesh path dispatched per query and fetched per query; this
+    # one is the same fused scan as the single-device path, shard_mapped)
+    "mesh_mid": dict(n=32, size=3_000_000, mesh="1x1"),
     "full": dict(n=100, size=3_000_000),
 }
 
@@ -205,11 +216,13 @@ def scaled_caps(n_genomes: int, params) -> None:
 
 
 def run_one_shot(paths, frag_batch: int, unit_chunk: int, fuse_k: int,
-                 out_prefix: str) -> dict:
+                 out_prefix: str, mesh: str = "") -> dict:
     """Complete one-shot run: device index build + fused zero-fetch map
     stream + single readout.  Wall-clock spans first enqueue through the
     readout's final fetch — the only honest timing on this platform
-    (module docstring)."""
+    (module docstring).  mesh="RxQ" routes the run through the fused
+    (r, q)-mesh stream (parallel/runner.run_sharded_fused) instead of
+    the single-device stream — same program shape, sharded."""
     import jax
 
     from fastani_tpu.config import Parameters
@@ -231,6 +244,31 @@ def run_one_shot(paths, frag_batch: int, unit_chunk: int, fuse_k: int,
 
         jitops.engage_sync()    # sync mode IS the fast mode (jitops doc)
     t_backend = time.time() - t_init0
+
+    if mesh:
+        from fastani_tpu.parallel import runner
+
+        n_r, n_q = (int(x) for x in mesh.lower().split("x"))
+        stats: dict = {}
+        t0 = time.time()
+        rows = runner.run_sharded_fused(
+            params, n_r, n_q, backend="jax", fuse_k=fuse_k, stats=stats,
+            log=lambda m: print(m, file=sys.stderr, flush=True))
+        total = time.time() - t0
+        return dict(
+            total_seconds=round(total, 3),
+            total_seconds_incl_init=round(total + t_backend, 3),
+            backend_init_seconds=round(t_backend, 2),
+            mesh=mesh, ani_rows=len(rows),
+            caps=dict(hits_cap=params.hits_cap, cand_cap=params.cand_cap,
+                      sketch_cap=params.sketch_cap),
+            observed=dict(max_hits=stats.get("max_hits"),
+                          max_groups=stats.get("max_groups"),
+                          max_s=stats.get("max_s"),
+                          max_span=stats.get("max_span"),
+                          n_units=stats.get("n_units"),
+                          fallback_frags=stats.get("fallback_frags", 0)),
+        )
 
     t0 = time.time()
     index = ReferenceIndex.build_device(params)
@@ -260,7 +298,9 @@ def run_one_shot(paths, frag_batch: int, unit_chunk: int, fuse_k: int,
                                                    mapper, stats=stats)
     t_readout = time.time() - t0
 
-    total = time.time() - t_init0 - t_backend   # engine work, excl. device init
+    # engine work excl. device init; the artifact ALSO reports the
+    # init-inclusive total (the C++ baseline pays full process time)
+    total = time.time() - t_init0 - t_backend
     rows = []
     for q in range(G):
         for g in range(G):
@@ -278,6 +318,7 @@ def run_one_shot(paths, frag_batch: int, unit_chunk: int, fuse_k: int,
             output.write_phylip(rows, glens, params, out_prefix)
     return dict(
         total_seconds=round(total, 3),
+        total_seconds_incl_init=round(total + t_backend, 3),
         backend_init_seconds=round(t_backend, 2),
         build_enqueue_seconds=round(t_build_enqueue, 3),
         mapper_init_seconds=round(t_mapper, 3),
@@ -391,7 +432,8 @@ def milestone_child(args) -> None:
     n, size = spec["n"], spec["size"]
     paths = build_workload(args.workdir, n, size)
     res = run_one_shot(paths, args.frag_batch, args.unit_chunk, args.fuse_k,
-                       os.path.join(args.workdir, "ours.out"))
+                       os.path.join(args.workdir, "ours.out"),
+                       mesh=spec.get("mesh", ""))
     res["milestone"] = args.milestone
     res["n"] = n
     res["size"] = size
@@ -437,20 +479,24 @@ def main():
     elif args.mode == "scale":
         ladder = ["mid", "full"]
     else:
-        ladder = ["quick", "mid", "full"]
+        ladder = ["quick", "mid", "mesh_mid", "full"]
 
     gbps = None
     milestones_done: dict = {}
     for name in ladder:
-        if name == "mid" and _remaining() < 180:
-            _log("skip mid milestone: deadline")
-            break
+        if name in ("mid", "mesh_mid") and _remaining() < 180:
+            _log(f"skip {name} milestone: deadline")
+            continue
         if name == "full" and _remaining() < 300:
             _log("skip full milestone: deadline")
             break
         spec = MILESTONES[name]
         n, size = spec["n"], spec["size"]
-        workdir = tempfile.mkdtemp(prefix=f"fastani_bench_{name}_")
+        # deterministic shared workdir: milestones with the same (n, size)
+        # reuse one synthesized workload (mid + mesh_mid)
+        workdir = os.path.join(tempfile.gettempdir(),
+                               f"fastani_bench_{n}x{size}_s{WORKLOAD_SEED}")
+        os.makedirs(workdir, exist_ok=True)
         t0 = time.time()
         paths = build_workload(workdir, n, size)
         _log(f"[{name}] workload: {n} x {size/1e6:.1f} Mbp "
@@ -462,7 +508,7 @@ def main():
         total = child["total_seconds"]
         pps = n * n / total
         _log(f"[{name}] one-shot {total:.2f}s = {pps:.1f} pairs/s "
-             f"(readout {child['readout_seconds']}s, "
+             f"(readout {child.get('readout_seconds', 'n/a')}s, "
              f"fallbacks {child['observed']['fallback_frags']})")
 
         if gbps is None:
@@ -491,16 +537,24 @@ def main():
                     base_src = "extrapolated_from_mid(linear in pairs)"
 
         detail = dict(child)
+        incl = child.get("total_seconds_incl_init")
         detail.update(
             baseline_pairs_per_sec=round(base_pps, 4) if base_pps else None,
             baseline_source=base_src,
+            # the baseline binary runs on THIS host's CPU — the
+            # environment's floor, not a production server
+            baseline_host=f"{os.cpu_count()}-core CPU (env floor)",
+            pairs_per_sec_incl_init=(round(n * n / incl, 3)
+                                     if incl else None),
             hashing_gbp_per_sec=gbps,
             milestones_done={k: v.get("summary")
                              for k, v in milestones_done.items()},
         )
+        mtag = (", fused %s mesh" % spec["mesh"]) if spec.get("mesh") else ""
         result = {
             "metric": "genome-pairs/sec (all-vs-all, %dx%d @ %.1f Mbp, "
-                      "one-shot incl. index build)" % (n, n, size / 1e6),
+                      "one-shot incl. index build%s)" % (n, n, size / 1e6,
+                                                         mtag),
             "value": round(pps, 3),
             "unit": "pairs/s",
             "vs_baseline": round(pps / base_pps, 3) if base_pps else None,

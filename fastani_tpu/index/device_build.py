@@ -242,6 +242,35 @@ def _pallas_batch_jit(k: int, w: int, rows: int, interpret: bool = False):
     return jax.jit(f)
 
 
+@functools.lru_cache(maxsize=None)
+def _pallas_batch_packed_jit(k: int, w: int, rows: int,
+                             interpret: bool = False):
+    """_pallas_batch_jit over 2-BIT-PACKED rows: pure-ACGT sequences
+    upload at 4 bases/byte (the tunnel's ~39 MB/s H2D is a build
+    bottleneck — hashing.pack2_np) and unpack on device, with halo/tail
+    pad bytes restored to 0 from position arithmetic so the winnow input
+    is byte-identical to the raw path."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastani_tpu.ops import pallas_winnow as pw
+
+    R17 = rows * (pw.SEG_W // _ROW)
+
+    def f(seq_packed, ctg, base, tl):
+        seq = hashing.unpack2_jax(seq_packed)
+        j = jnp.arange(pw.SEG_W, dtype=jnp.int32)[None, :]
+        glob = base[:, None] - (w - 1) + j
+        valid = (glob >= 0) & (glob < tl[:, None])
+        seq = jnp.where(valid, seq, jnp.uint8(0))
+        emit, h, wp = pw.winnow_rows(seq, ctg, base, tl, k, w,
+                                     interpret=interpret)
+        return _compact_rows(jnp, emit.reshape(-1), h.reshape(-1),
+                             wp.reshape(-1), R17)
+
+    return jax.jit(f)
+
+
 def _pallas_available() -> bool:
     import jax
 
@@ -318,6 +347,7 @@ def build_device(cls, params: Parameters,
         pend_sid: List[int] = []
         pend_base: List[int] = []
         pend_tl: List[int] = []
+        pend_pure: List[bool] = []
 
         def flush_pallas():
             n = len(pend_rows)
@@ -334,9 +364,18 @@ def build_device(cls, params: Parameters,
             bs[:n] = pend_base
             tl = np.zeros(Rb, np.int32)          # pad rows: no valid kmers
             tl[:n] = pend_tl
-            hr, wr, cnt, over = _pallas_batch_jit(k, w, Rb, pw_interp)(
-                jnp.asarray(buf), jnp.asarray(ctg), jnp.asarray(bs),
-                jnp.asarray(tl))
+            if all(pend_pure):
+                # pure-ACGT flush: 4x less H2D; device unpack restores
+                # the identical byte rows (pad bytes re-zeroed from
+                # base/tl position arithmetic)
+                hr, wr, cnt, over = _pallas_batch_packed_jit(
+                    k, w, Rb, pw_interp)(
+                    jnp.asarray(hashing.pack2_np(buf)), jnp.asarray(ctg),
+                    jnp.asarray(bs), jnp.asarray(tl))
+            else:
+                hr, wr, cnt, over = _pallas_batch_jit(k, w, Rb, pw_interp)(
+                    jnp.asarray(buf), jnp.asarray(ctg), jnp.asarray(bs),
+                    jnp.asarray(tl))
             pieces.append((hr, wr, cnt))
             sids = np.zeros(Rb, np.int32)
             sids[:n] = pend_sid
@@ -346,9 +385,11 @@ def build_device(cls, params: Parameters,
             pend_sid.clear()
             pend_base.clear()
             pend_tl.clear()
+            pend_pure.clear()
 
         def add_contig_pallas(sid0: int, squ: np.ndarray):
             L = len(squ)
+            pure = hashing.is_pure_acgt(squ)
             n_seg = -(-L // seg_p)
             if n_seg > _PW_MAXROWS:     # >~17.8 Mbp contig: XLA chunk path
                 flush_pallas()
@@ -371,6 +412,7 @@ def build_device(cls, params: Parameters,
                 pend_sid.append(sid0)
                 pend_base.append(base)
                 pend_tl.append(L)
+                pend_pure.append(pure)
             if len(pend_rows) >= _PW_FLUSH:
                 flush_pallas()
 

@@ -499,7 +499,8 @@ class JitMapper:
 
     # ---- fused multi-batch stream step -------------------------------------
 
-    def fused_stream_fin_fn(self, K: int, fin_cap: int, cgi):
+    def fused_stream_fin_fn(self, K: int, fin_cap: int, cgi,
+                            packed_frags: bool = False):
         """ONE jitted program that maps K fragment batches, folds each
         into the CGI slot table, and closes finished query genomes'
         segments — K batches per dispatch instead of 2K dispatches (deep
@@ -524,7 +525,7 @@ class JitMapper:
         (tab', acc_c', acc_s', counts_k, fb_k); tab/acc donated.
         """
         key = ("fin", K, fin_cap, cgi.n_slots, cgi.n_qg, cgi.n_rg,
-               cgi.frag_cap)
+               cgi.frag_cap, packed_frags)
         cache = getattr(self, "_fused_cache", None)
         if cache is None:
             cache = self._fused_cache = {}
@@ -548,6 +549,12 @@ class JitMapper:
             def body(carry, xs):
                 tab, acc_c, acc_s = carry
                 frags, qno_row, qsid_row, rv, fin = xs
+                if packed_frags:
+                    # 2-bit packed H2D (~39 MB/s tunnel): unpack on
+                    # device; pad rows become poly-A but are masked by rv
+                    from fastani_tpu.ops import hashing as _h
+
+                    frags = _h.unpack2_jax(frags)
                 tab, acc_c, acc_s = device_cgi.finalize_rows(
                     tab, acc_c, acc_s, fin, gid_of_bin, n_slots, n_qg,
                     n_rg)

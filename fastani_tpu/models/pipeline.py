@@ -34,6 +34,9 @@ class QueryFragments:
     # visualization metadata: one entry per fragment, plus one per skipped
     # short contig (computeMap.hpp:140-167); offsets are prefix sums of lens
     vis_offsets: np.ndarray     # (n_meta,) int64 global offset per entry
+    # all fragment bytes are uppercase A/C/G/T: enables the 2-bit packed
+    # H2D path (ops/hashing.pack2_np); any other byte must upload raw
+    pure_acgt: bool = False
 
 
 def load_query_fragments(path: str, params: Parameters) -> QueryFragments:
@@ -67,7 +70,8 @@ def load_query_fragments(path: str, params: Parameters) -> QueryFragments:
     lens = np.concatenate(vis_blocks) if vis_blocks else np.zeros(0, np.int64)
     offsets = np.concatenate([[0], np.cumsum(lens)[:-1]]) if len(lens) \
         else np.zeros(0, np.int64)
-    return QueryFragments(frags, frag_ids, seq_counter, offsets)
+    return QueryFragments(frags, frag_ids, seq_counter, offsets,
+                          pure_acgt=hashing.is_pure_acgt(frags.reshape(-1)))
 
 
 def map_query(query_frags: QueryFragments, index: ReferenceIndex,
@@ -145,12 +149,14 @@ class FragmentStream:
         self._cache: Dict[int, QueryFragments] = {}
         self.meta: Dict[int, tuple] = {}
         counts = []
+        self.all_pure_acgt = True
         for i, q in enumerate(self.queries):
             qf = q if not isinstance(q, str) \
                 else load_query_fragments(q, params)
             self.meta[i] = (len(qf.frags), qf.total_fragments,
                             qf.vis_offsets)
             counts.append(len(qf.frags))
+            self.all_pure_acgt &= qf.pure_acgt
             del qf
         self.offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
         self.F = int(self.offsets[-1])
@@ -379,8 +385,11 @@ def map_queries_cgi_stream(queries, index: ReferenceIndex,
         index, params, n_query_genomes, n_ref_genomes,
         n_slots=n_slots, frag_cap=B,
         donate=jax.default_backend() == "tpu")
-    fn = jit_mapper.fused_stream_fin_fn(fuse_k, fin_cap, cgi) if starts \
-        else None
+    # 2-bit packed H2D when every query byte is uppercase ACGT (4x less
+    # upload through the ~39 MB/s tunnel; ops/hashing.pack2_np)
+    packed_h2d = getattr(stream, "all_pure_acgt", False) and L % 4 == 0
+    fn = jit_mapper.fused_stream_fin_fn(
+        fuse_k, fin_cap, cgi, packed_frags=packed_h2d) if starts else None
     fb_masks, counts_list = [], []
     for c0 in range(0, len(starts), fuse_k):
         grp = starts[c0:c0 + fuse_k]
@@ -398,7 +407,8 @@ def map_queries_cgi_stream(queries, index: ReferenceIndex,
             fl = fins[c0 + j]
             fin_k[j, :len(fl)] = fl
         counts_k, fb_k = jit_mapper.dispatch_fused_fin(
-            fn, frags_k, qno_k, qsid_k, rv_k, fin_k, cgi)
+            fn, hashing.pack2_np(frags_k) if packed_h2d else frags_k,
+            qno_k, qsid_k, rv_k, fin_k, cgi)
         fb_masks.append(fb_k)
         counts_list.append(counts_k)
         if grp:

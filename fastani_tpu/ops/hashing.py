@@ -343,3 +343,48 @@ def upper_np(seq: np.ndarray) -> np.ndarray:
 
 def upper_jax(seq_u8):
     return _upper_table_j()[seq_u8]
+
+
+# ---------------------------------------------------------------------------
+# 2-bit sequence packing for host->device transfer
+#
+# The tunneled TPU's H2D path runs at ~39 MB/s (sync mode), so sequence
+# bytes dominate upload time; pure-ACGT sequences pack 4 bases/byte on
+# host and unpack on device (VPU-trivial), a 4x H2D cut.  Only applies
+# to uppercased pure-ACGT data — any other byte (N, IUPAC) must hash
+# as its raw value (commonFunc.hpp:71-81), so callers check
+# is_pure_acgt() and fall back to raw upload otherwise.
+# ---------------------------------------------------------------------------
+
+_PACK_CODE = np.zeros(256, np.uint8)
+for _i, _b in enumerate(b"ACGT"):
+    _PACK_CODE[_b] = _i
+_ACGT_SET = np.zeros(256, bool)
+for _b in b"ACGT":
+    _ACGT_SET[_b] = True
+
+
+def is_pure_acgt(seq: np.ndarray) -> bool:
+    """True iff every byte is uppercase A/C/G/T (packable)."""
+    return bool(_ACGT_SET[np.asarray(seq, np.uint8)].all())
+
+
+def pack2_np(rows: np.ndarray) -> np.ndarray:
+    """(..., W) uint8 ASCII -> (..., W//4) uint8, 4 bases per byte
+    (little-endian within the byte).  W must be a multiple of 4;
+    non-ACGT bytes (including zero pads) pack as code 0 ('A')."""
+    codes = _PACK_CODE[np.asarray(rows, np.uint8)]
+    c = codes.reshape(rows.shape[:-1] + (-1, 4))
+    return (c[..., 0] | (c[..., 1] << 2) | (c[..., 2] << 4)
+            | (c[..., 3] << 6)).astype(np.uint8)
+
+
+def unpack2_jax(packed):
+    """Device inverse of pack2_np: (..., W//4) uint8 -> (..., W) uint8
+    ASCII over the 'ACGT' alphabet (code 0 -> 'A': callers masking pad
+    regions do so with position arithmetic, not byte values)."""
+    sh = jnp.arange(4, dtype=jnp.uint8) * jnp.uint8(2)
+    codes = (packed[..., None] >> sh) & jnp.uint8(3)
+    lut = jnp.asarray(np.frombuffer(b"ACGT", np.uint8))
+    out = lut[codes]
+    return out.reshape(packed.shape[:-1] + (packed.shape[-1] * 4,))

@@ -477,7 +477,7 @@ def make_sharded_rows_step(cfg: jitmap.MapperConfig, mesh: Mesh, s_max: int,
 def make_fused_mesh_stream_step(cfg: jitmap.MapperConfig, mesh: Mesh,
                                 K: int, fin_cap: int, n_slots: int,
                                 n_qg: int, G: int, frag_len: int,
-                                B_local: int):
+                                B_local: int, packed_frags: bool = False):
     """ZERO-FETCH fused stream step over the (r, q) mesh — the multi-chip
     port of the single-device fused design (models/jitmap.
     fused_stream_fin_fn): ONE jitted program maps K fragment sub-batches
@@ -520,6 +520,10 @@ def make_fused_mesh_stream_step(cfg: jitmap.MapperConfig, mesh: Mesh,
         def body(carry, xs):
             tab, acc_c, acc_s = carry
             frags, qno_row, qsid_row, rv, fin = xs
+            if packed_frags:
+                from fastani_tpu.ops import hashing as _h
+
+                frags = _h.unpack2_jax(frags)
             tab, acc_c, acc_s = device_cgi.finalize_rows(
                 tab, acc_c, acc_s, fin, gid_of_bin, n_slots, n_qg, G,
                 q_axis="q")

@@ -211,9 +211,10 @@ def run_sharded_fused(params: Parameters, n_r: Optional[int] = None,
     acc_c = place(np.zeros((n_r, n_q, n_queries, G), np.int32), dev4)
     acc_s = place(np.zeros((n_r, n_q, n_queries, G), np.float32), dev4)
 
+    packed_h2d = getattr(stream, "all_pure_acgt", False) and L % 4 == 0
     step = pmesh.make_fused_mesh_stream_step(
         cfg, plan.mesh, fuse_k, fin_cap, n_slots, n_queries, G, L,
-        B_local)
+        B_local, packed_frags=packed_h2d)
     fin_step = pmesh.make_mesh_finalize_step(plan.mesh, fin_cap, n_slots,
                                              n_queries, G)
 
@@ -238,9 +239,13 @@ def run_sharded_fused(params: Parameters, n_r: Optional[int] = None,
             fl = fins[c0 + j]
             fin_k[j, :len(fl)] = fl
         shape4 = (fuse_k, n_q, B_local)
+        from fastani_tpu.ops import hashing as _hash
+
+        frags_send = frags_k.reshape(shape4 + (L,))
+        if packed_h2d:
+            frags_send = _hash.pack2_np(frags_send)
         tab, acc_c, acc_s, counts_k, fb_k = step(
-            place(frags_k.reshape(shape4 + (L,)),
-                  P(None, "q", None, None)),
+            place(frags_send, P(None, "q", None, None)),
             place(qno_k.reshape(shape4), q_spec3),
             place(qsid_k.reshape(shape4), q_spec3),
             place(rv_k.reshape(shape4), q_spec3),

@@ -57,24 +57,35 @@ def main():
     ap.add_argument("--genomes", type=int, default=200)
     ap.add_argument("--size", type=int, default=1_000_000)
     ap.add_argument("--mesh", default="4x2")
+    ap.add_argument("--path", choices=["rows", "fused"], default="rows",
+                    help="rows = exact 2-way survivor rows + host fold; "
+                         "fused = zero-fetch device-CGI stream (the "
+                         "throughput default of the product CLI)")
+    ap.add_argument("--queries", type=int, default=0,
+                    help="query-genome count (default: all = genomes); "
+                         "a reduced query set still certifies index + "
+                         "table memory at full reference scale")
+    ap.add_argument("--workdir", default="",
+                    help="reuse an existing workload directory")
     args = ap.parse_args()
 
     from bench import build_workload
-    from fastani_tpu.config import Parameters
+    from fastani_tpu.config import Parameters, scale_caps
     from fastani_tpu.parallel import runner
 
     n_r, n_q = (int(x) for x in args.mesh.split("x"))
-    wd = tempfile.mkdtemp(prefix="fastani_dryrun_")
+    wd = args.workdir or tempfile.mkdtemp(prefix="fastani_dryrun_")
     t0 = time.time()
     paths = build_workload(wd, args.genomes, args.size)
     t_synth = time.time() - t0
     print(f"workload: {args.genomes} x {args.size/1e6:.1f} Mbp "
           f"({t_synth:.0f}s to synthesize, rss {rss_mb():.0f} MB)", flush=True)
 
+    n_queries = args.queries or args.genomes
     params = Parameters(out_file_name=os.path.join(wd, "out.txt"),
                         matrix_output=True).finalize()
     params.ref_sequences = list(paths)
-    params.query_sequences = list(paths)
+    params.query_sequences = list(paths[:n_queries])
 
     logs = []
 
@@ -82,18 +93,29 @@ def main():
         logs.append(m)
         print(m, file=sys.stderr, flush=True)
 
+    stats: dict = {}
     t0 = time.time()
-    final = runner.run_sharded(params, n_r=n_r, n_q=n_q, backend="jax",
-                               log=log)
+    if args.path == "fused":
+        scale_caps(args.genomes, params)
+        final = runner.run_sharded_fused(params, n_r=n_r, n_q=n_q,
+                                         backend="jax", stats=stats,
+                                         log=log)
+    else:
+        final = runner.run_sharded(params, n_r=n_r, n_q=n_q,
+                                   backend="jax", log=log)
     t_run = time.time() - t0
 
     retries = sum("retrying" in m for m in logs)
     result = dict(
         genomes=args.genomes, size=args.size, mesh=args.mesh,
+        path=args.path, queries=n_queries,
         ani_rows=len(final), run_seconds=round(t_run, 1),
         peak_rss_mb=round(rss_mb(), 1),
         rows_cap_retries=retries,
-        pairs_per_sec=round(args.genomes * args.genomes / t_run, 2),
+        fallback_frags=stats.get("fallback_frags"),
+        observed={k: stats.get(k) for k in (
+            "max_hits", "max_groups", "max_s", "max_span", "n_units")},
+        pairs_per_sec=round(n_queries * args.genomes / t_run, 2),
     )
     print(json.dumps(result), flush=True)
     assert retries == 0, "rows_cap heuristic forced a mid-run recompile"

@@ -88,6 +88,33 @@ def test_device_build_pallas_matches_host(files, monkeypatch):
     assert dev.num_unique_hashes == host.num_unique_hashes
 
 
+def test_device_build_pallas_mixed_purity(files, tmp_path, monkeypatch):
+    """Packed (2-bit) vs raw upload decision per flush: an N-containing
+    contig forces the raw path; interleaving it with pure-ACGT contigs in
+    one build must still be bit-identical to the host build (the packed
+    flush re-zeroes halo/tail pads from position arithmetic)."""
+    monkeypatch.setenv("FASTANI_PALLAS_WINNOW", "interpret")
+    from fastani_tpu.config import Parameters
+    from fastani_tpu.index.sketch import ReferenceIndex
+
+    rng = np.random.default_rng(31)
+    g = synth.random_genome(rng, 40_000)
+    withn = g.copy()
+    withn[5_000:5_030] = ord("N")
+    p = tmp_path / "mixed.fa"
+    synth.write_fasta(p, [("pure1", g[:20_000]), ("n_ctg", withn),
+                          ("pure2", g[20_000:])])
+    params = Parameters(ref_sequences=[str(p)] + files).finalize()
+    host = ReferenceIndex.build(params)
+    dev = ReferenceIndex.build_device(params)
+    assert dev.num_entries == host.num_entries
+    hv = dev.host_view()
+    for f in ("mi_hash", "mi_seqid", "mi_wpos", "occ_hash", "occ_seqid",
+              "occ_wpos"):
+        np.testing.assert_array_equal(getattr(hv, f), getattr(host, f),
+                                      err_msg=f)
+
+
 def test_winnow_batched_pallas_matches_xla(monkeypatch):
     """Fragment-batch winnowing: Pallas (interpret) vs the XLA doubling
     pipeline, elementwise equal."""

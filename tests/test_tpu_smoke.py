@@ -95,8 +95,8 @@ def test_butterfly_compact_matches_numpy():
 
 
 def test_e2e_cli_on_tpu(tmp_path):
-    """Tiny end-to-end --backend jax run on the real device, byte-compared
-    to the numpy host path."""
+    """Tiny end-to-end --backend jax --exact run on the real device,
+    byte-compared to the numpy host path."""
     _require_tpu()
     from tests import synth
 
@@ -111,7 +111,96 @@ def test_e2e_cli_on_tpu(tmp_path):
     a = str(tmp_path / "tpu.txt")
     b = str(tmp_path / "host.txt")
     assert cli.main(["-q", q, "-r", r, "-o", a, "--matrix",
-                     "--backend", "jax"]) == 0
+                     "--backend", "jax", "--exact"]) == 0
     assert cli.main(["-q", q, "-r", r, "-o", b, "--matrix"]) == 0
     assert open(a).read() == open(b).read()
     assert open(a + ".matrix").read() == open(b + ".matrix").read()
+
+
+def _ani_rows(path):
+    out = {}
+    for ln in open(path):
+        q, r, ani, cnt, tot = ln.split("\t")
+        out[(q, r)] = (float(ani), int(cnt), int(tot))
+    return out
+
+
+def test_fast_cli_on_tpu(tmp_path):
+    """The product fast path (--backend jax default) on the real device:
+    counts equal the exact run, ANI within 0.1."""
+    _require_tpu()
+    from tests import synth
+
+    from fastani_tpu import cli
+
+    rng = np.random.default_rng(5)
+    base = synth.random_genome(rng, 120_000)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"g{i}.fa")
+        synth.write_fasta(p, [(f"g{i}", synth.mutate_genome(
+            rng, base, 0.01 + 0.02 * i))])
+        paths.append(p)
+    lst = str(tmp_path / "all.txt")
+    open(lst, "w").write("\n".join(paths) + "\n")
+    fast = str(tmp_path / "fast.txt")
+    exact = str(tmp_path / "exact.txt")
+    assert cli.main(["--ql", lst, "--rl", lst, "-o", fast,
+                     "--backend", "jax"]) == 0
+    assert cli.main(["--ql", lst, "--rl", lst, "-o", exact]) == 0
+    fa, ex = _ani_rows(fast), _ani_rows(exact)
+    assert set(fa) == set(ex) and ex
+    for key, (ani_e, cnt_e, tot_e) in ex.items():
+        ani_f, cnt_f, tot_f = fa[key]
+        assert abs(ani_e - ani_f) < 0.1, key
+        assert (cnt_e, tot_e) == (cnt_f, tot_f), key
+
+
+def test_sharded_paths_mesh_1x1_on_tpu(tmp_path):
+    """Both sharded paths (exact rows step + fused zero-fetch stream) on
+    the real chip over a 1x1 mesh: validates the Mosaic lowering of the
+    shard_map programs on hardware and cross-checks their results.
+    Timing for the fused mesh at bench scale comes from the bench's
+    mesh_mid milestone."""
+    _require_tpu()
+    import time
+
+    from tests import synth
+
+    from fastani_tpu.config import Parameters
+    from fastani_tpu.parallel import runner
+
+    rng = np.random.default_rng(7)
+    base = synth.random_genome(rng, 100_000)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"g{i}.fa")
+        synth.write_fasta(p, [(f"g{i}", synth.mutate_genome(
+            rng, base, 0.01 + 0.02 * i))])
+        paths.append(p)
+
+    def mk(out):
+        params = Parameters(frag_batch=64,
+                            out_file_name=str(tmp_path / out)).finalize()
+        params.ref_sequences = list(paths)
+        params.query_sequences = list(paths)
+        return params
+
+    t0 = time.time()
+    rows_exact = runner.run_sharded(mk("ex.txt"), 1, 1, backend="jax",
+                                    log=lambda m: None)
+    t_exact = time.time() - t0
+    t0 = time.time()
+    rows_fused = runner.run_sharded_fused(mk("fu.txt"), 1, 1,
+                                          backend="jax",
+                                          log=lambda m: None)
+    t_fused = time.time() - t0
+    print(f"tpu 1x1 mesh: exact {t_exact:.1f}s, fused {t_fused:.1f}s")
+    ex = {(r.qry_genome, r.ref_genome): (r.count_seq, float(r.identity))
+          for r in rows_exact}
+    fu = {(r.qry_genome, r.ref_genome): (r.count_seq, float(r.identity))
+          for r in rows_fused}
+    assert set(ex) == set(fu) and ex
+    for key, (cnt, ident) in ex.items():
+        assert fu[key][0] == cnt, key
+        assert abs(fu[key][1] - ident) < 0.1, key
