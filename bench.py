@@ -333,6 +333,7 @@ def run_one_shot(paths, frag_batch: int, unit_chunk: int, fuse_k: int,
                       max_s=stats.get("max_s"),
                       max_span=stats.get("max_span"),
                       n_units=stats.get("n_units"),
+                      sum_hits=stats.get("sum_hits"),
                       sk_overflow=stats.get("sk_overflow"),
                       l1_overflow=stats.get("l1_overflow"),
                       l2_overflow=stats.get("l2_overflow"),

@@ -275,6 +275,7 @@ def map_step(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
         max_s=s.max().astype(jnp.int32),
         max_span=max_span,
         n_units=l1.valid.sum().astype(jnp.int32),
+        sum_hits=l1.n_hits.sum().astype(jnp.int32),  # batch total (vs F*cap)
     )
 
 
@@ -329,7 +330,7 @@ def map_step_packed(cfg: MapperConfig, frags, occ_hash, occ_sid, occ_wpos,
         out["l2_overflow"].any().astype(jnp.int32),
         out["unit_frag_overflow"].astype(jnp.int32),
         out["max_hits"], out["max_groups"], out["max_s"], out["max_span"],
-        out["n_units"]])
+        out["n_units"], out["sum_hits"]])
     return dict(
         packed=packed,                              # (7, U_cap) valid-first
         counts=counts,                              # (10,)
@@ -714,7 +715,7 @@ class JitMapper:
             for i, key in enumerate((
                     "n_valid", "sk_overflow", "l1_overflow", "l2_overflow",
                     "unit_overflow", "max_hits", "max_groups", "max_s",
-                    "max_span", "n_units")):
+                    "max_span", "n_units", "sum_hits")):
                 stats[key] = max(int(counts[i]), stats.get(key, 0))
             stats["batches"] = stats.get("batches", 0) + 1
         fallback = set()

@@ -486,7 +486,7 @@ def map_queries_cgi_finish(handle: CGIRunHandle, index: ReferenceIndex,
         for i, key in enumerate((
                 "n_valid", "sk_overflow", "l1_overflow", "l2_overflow",
                 "unit_overflow", "max_hits", "max_groups", "max_s",
-                "max_span", "n_units")):
+                "max_span", "n_units", "sum_hits")):
             stats[key] = int(cm[:, i].max()) if len(cm) else 0
         stats["batches"] = len(starts)
         stats["fallback_frags"] = 0

@@ -151,35 +151,60 @@ def run_sharded_fused(params: Parameters, n_r: Optional[int] = None,
     multi = jax.process_count() > 1
     rows_own = plan.my_r_rows if multi else None
     device_build = (backend == "jax" and jax.default_backend() == "tpu")
-    shards = pmesh.build_shards(
-        params, params.ref_sequences, n_r, rows=rows_own,
-        device=device_build, save_prefix=params.save_index,
-        load_prefix=params.load_index)
-    dims = pmesh.local_shard_dims(shards, params.ref_sequences, n_r,
-                                  params.frag_len)
-    if multi:
-        dims = distributed.allgather_shard_dims(dims)
-    sidx = pmesh.build_sharded_index(
-        params, params.ref_sequences, n_r, rows=rows_own, shards=shards,
-        dims=dims)
-    log(f"INFO, fastani_tpu, {len(sidx.owned_rows)} of {n_r} reference "
-        f"shards sketched in {time.time()-t0:.2f}s")
+    # n_r == 1 single-process on the real device: the one shard IS the
+    # whole index — build it DEVICE-RESIDENT and wrap its arrays as the
+    # (1, M) mesh shards in place (device_put on the same device copies
+    # nothing across the link).  The generic path would pull the whole
+    # index to host (host_view) and re-upload it — minutes through the
+    # ~1 MB/s D2H tunnel at bench scale.
+    dev_resident = (n_r == 1 and not multi and device_build
+                    and not params.sanity_check and not params.save_index
+                    and not params.load_index)
+    index = None
+    if dev_resident:
+        from fastani_tpu.index.sketch import ReferenceIndex
 
-    sane = np.ones(n_r, bool)
-    if params.sanity_check:
-        sane, diffs = _shard_sanity(sidx, params.max_ratio_diff)
-        for r in range(n_r):
-            if not sane[r]:
-                log(f"ERROR :: SPLIT {r}'s ratio difference {diffs[r]} "
-                    f"exceeds maximum thresholds.")
-        for r in np.nonzero(~sane)[0]:
-            if sidx.owned_rows is None or r in sidx.owned_rows:
-                sidx.occ_hash[r] = 0xFFFFFFFF
-                sidx.n_occ[r] = 0
+        index = ReferenceIndex.build_device(params)
+        shards = {}
+        G = max(len(params.ref_sequences), 1)
+        wpos_bits = None
+        occ_rounds = mi_rounds = None
+        freq_thr = index.freq_threshold
+        log(f"INFO, fastani_tpu, device-resident 1-shard index enqueued "
+            f"in {time.time()-t0:.2f}s")
+    else:
+        shards = pmesh.build_shards(
+            params, params.ref_sequences, n_r, rows=rows_own,
+            device=device_build, save_prefix=params.save_index,
+            load_prefix=params.load_index)
+        dims = pmesh.local_shard_dims(shards, params.ref_sequences, n_r,
+                                      params.frag_len)
+        if multi:
+            dims = distributed.allgather_shard_dims(dims)
+        sidx = pmesh.build_sharded_index(
+            params, params.ref_sequences, n_r, rows=rows_own,
+            shards=shards, dims=dims)
+        log(f"INFO, fastani_tpu, {len(sidx.owned_rows)} of {n_r} "
+            f"reference shards sketched in {time.time()-t0:.2f}s")
+
+        sane = np.ones(n_r, bool)
+        if params.sanity_check:
+            sane, diffs = _shard_sanity(sidx, params.max_ratio_diff)
+            for r in range(n_r):
+                if not sane[r]:
+                    log(f"ERROR :: SPLIT {r}'s ratio difference "
+                        f"{diffs[r]} exceeds maximum thresholds.")
+            for r in np.nonzero(~sane)[0]:
+                if sidx.owned_rows is None or r in sidx.owned_rows:
+                    sidx.occ_hash[r] = 0xFFFFFFFF
+                    sidx.n_occ[r] = 0
+        G = sidx.max_local_genomes
+        wpos_bits = sidx.wpos_bits
+        occ_rounds, mi_rounds = sidx.occ_rounds, sidx.mi_rounds
+        freq_thr = sidx.freq_threshold
 
     stream = pipeline.FragmentStream(list(params.query_sequences), params)
     n_queries = len(stream.queries)
-    G = sidx.max_local_genomes
     B_local = max(1, -(-params.frag_batch // n_q))
     B_global = B_local * n_q
     L = params.frag_len
@@ -187,12 +212,11 @@ def run_sharded_fused(params: Parameters, n_r: Optional[int] = None,
         stream, B_global, n_queries)
 
     uf = max(4, int(1.7 * G) + 8)
-    cfg = jitmap.MapperConfig.from_params(params, sidx.freq_threshold)
+    cfg = jitmap.MapperConfig.from_params(params, freq_thr)
     cfg = dataclasses.replace(
         cfg, unit_cap=min(B_local * uf, B_local * params.cand_cap),
         unit_chunk=min(512, max(8, B_local)),
-        wpos_bits=sidx.wpos_bits,
-        occ_rounds=sidx.occ_rounds, mi_rounds=sidx.mi_rounds)
+        wpos_bits=wpos_bits, occ_rounds=occ_rounds, mi_rounds=mi_rounds)
     s_max = params.sketch_cap
     place = lambda a, spec: distributed._place(plan, a, spec)
     rep = P()
@@ -202,10 +226,64 @@ def run_sharded_fused(params: Parameters, n_r: Optional[int] = None,
         params.kmer_size, params.percentage_identity, s_max)), rep)
     ident_lut = place(np.asarray(device_cgi.identity_lut_full(
         params.kmer_size, s_max)), rep)
-    idx_arrays = distributed.shard_index_arrays(plan, sidx)
-    idx_arrays.pop("n_genomes", None)
 
-    B_cap = sidx.gid_of_bin.shape[1]
+    if dev_resident:
+        # harvest the JitMapper's device-side index prep (padding, packed
+        # keys, probe LUTs, prev/next links) — all in HBM, zero fetches
+        mapper = jitmap.JitMapper(params, index)
+        cfg = dataclasses.replace(
+            cfg, wpos_bits=mapper.cfg.wpos_bits, occ_rounds=None,
+            mi_rounds=None)
+        from jax.sharding import NamedSharding
+
+        r2 = NamedSharding(plan.mesh, P("r", None))
+        r1 = NamedSharding(plan.mesh, P("r"))
+        dput = jax.device_put
+        idx_arrays = {
+            "occ_hash": dput(mapper._occ_hash[None], r2),
+            "occ_sid": dput(mapper._occ_sid[None], r2),
+            "occ_wpos": dput(mapper._occ_wpos[None], r2),
+            "mi_hash": dput(mapper._mi_hash[None], r2),
+            "mi_sid": dput(mapper._mi_sid[None], r2),
+            "mi_wpos": dput(mapper._mi_wpos[None], r2),
+            "occ_packed": dput(mapper._occ_packed[None], r2),
+            "mi_packed": dput(mapper._mi_packed[None], r2),
+            "occ_lut": dput(mapper._occ_lut[None], r2),
+            "mi_lut": dput((mapper._mi_lut
+                            if mapper._mi_lut is not None
+                            else mapper._occ_lut)[None], r2),
+            "mi_prev": dput(mapper._mi_prev[None], r2),
+            "mi_nxt": dput(mapper._mi_nxt[None], r2),
+            "seq_start": dput(mapper._seq_start[None], r2),
+            "n_occ": dput(mapper._n_occ.reshape(1), r1),
+            "freq_threshold": place(
+                np.asarray([freq_thr], np.int32), P("r")),
+        }
+        bin_start, gid_of_bin = device_cgi.make_bin_tables(
+            [c.length for c in index.metadata], index.genome_of_seq(),
+            params.frag_len)
+        B_cap = max(128, 1 << max(len(gid_of_bin) - 1, 1).bit_length())
+        gb = np.full(B_cap, G, np.int32)
+        gb[:len(gid_of_bin)] = gid_of_bin
+        sb = np.zeros(B_cap, np.int32)
+        width = params.frag_len - 20
+        lens = np.asarray([c.length for c in index.metadata], np.int64)
+        nb = lens // width + 1
+        if len(lens):
+            sb[:int(nb.sum())] = np.repeat(
+                np.arange(len(lens), dtype=np.int32), nb)
+        S = len(index.metadata)
+        bs_p = np.zeros(max(S + 1, 2), np.int32)
+        bs_p[:len(bin_start)] = bin_start
+        idx_arrays["bin_start"] = place(bs_p[None], P("r", None))
+        idx_arrays["sid_of_bin"] = place(sb[None], P("r", None))
+        idx_arrays["gid_of_bin"] = place(gb[None], P("r", None))
+        idx_arrays["genome_of_seq"] = place(
+            index.genome_of_seq().astype(np.int32)[None], P("r", None))
+    else:
+        idx_arrays = distributed.shard_index_arrays(plan, sidx)
+        idx_arrays.pop("n_genomes", None)
+        B_cap = sidx.gid_of_bin.shape[1]
     dev4 = P("r", "q", None, None)
     tab = place(np.full((n_r, n_q, n_slots, B_cap), -1, np.int32), dev4)
     acc_c = place(np.zeros((n_r, n_q, n_queries, G), np.int32), dev4)
@@ -266,12 +344,21 @@ def run_sharded_fused(params: Parameters, n_r: Optional[int] = None,
 
     # ---- single readout ---------------------------------------------------
     acc_c_h, acc_s_h = distributed.gather_rows(acc_c, acc_s)
+    if index is not None and index.check_build_overflow():
+        # degenerate repeat input dropped minimizers in the device build:
+        # redo through the exact host-shard build (rare)
+        log("INFO, fastani_tpu, device index build overflowed; "
+            "rerunning with host-built shards")
+        return run_sharded_fused(params, n_r, n_q, coordinator,
+                                 num_processes, process_id,
+                                 backend="numpy", fuse_k=fuse_k,
+                                 stats=stats, log=log)
     if stats is not None and counts_list:
         cm = np.stack([np.asarray(jitops.fetch(c)) for c in counts_list])
         for i, key in enumerate((
                 "n_valid", "sk_overflow", "l1_overflow", "l2_overflow",
                 "unit_overflow", "max_hits", "max_groups", "max_s",
-                "max_span", "n_units")):
+                "max_span", "n_units", "sum_hits")):
             stats[key] = int(cm[..., i].max()) if cm.size else 0
         stats["batches"] = len(starts)
         stats["fallback_frags"] = 0
