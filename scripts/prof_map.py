@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--size", type=int, default=1_000_000)
     ap.add_argument("--frag-batch", type=int, default=512)
     ap.add_argument("--unit-chunk", type=int, default=256)
+    ap.add_argument("--workdir", default="",
+                    help="reuse an existing workload directory")
     args = ap.parse_args()
 
     import jax
@@ -55,7 +57,7 @@ def main():
     from fastani_tpu.ops import pallas_compact, pallas_sort
     from fastani_tpu.ops.xputils import lut_searchsorted
 
-    workdir = tempfile.mkdtemp(prefix="fastani_prof_")
+    workdir = args.workdir or tempfile.mkdtemp(prefix="fastani_prof_")
     paths = build_workload(workdir, args.genomes, args.size)
     params = Parameters(frag_batch=args.frag_batch).finalize()
     scaled_caps(len(paths), params)
