@@ -284,11 +284,19 @@ def run_one_shot(paths, frag_batch: int, unit_chunk: int, fuse_k: int,
 
     t0 = time.time()
     queries = [pipeline.load_query_fragments(p, params) for p in paths]
-    n_frags = sum(len(q.frags) for q in queries)
+    stream = pipeline.FragmentStream(queries, params)
+    n_frags = stream.F
     t_ingest = time.time() - t0
 
+    # probe-pass: shrink hits_cap to the measured workload density (the
+    # dominant L1 cost scales with this width); the probed max also
+    # rides the artifact
     t0 = time.time()
-    handle = pipeline.map_queries_cgi_stream(queries, index, params, mapper,
+    tuned_cap = pipeline.autotune_hits_cap(mapper, stream, params)
+    t_autotune = time.time() - t0
+
+    t0 = time.time()
+    handle = pipeline.map_queries_cgi_stream(stream, index, params, mapper,
                                              G, G, fuse_k=fuse_k)
     t_stream_enqueue = time.time() - t0
 
@@ -323,6 +331,8 @@ def run_one_shot(paths, frag_batch: int, unit_chunk: int, fuse_k: int,
         build_enqueue_seconds=round(t_build_enqueue, 3),
         mapper_init_seconds=round(t_mapper, 3),
         ingest_seconds=round(t_ingest, 3),
+        autotune_seconds=round(t_autotune, 3),
+        hits_cap_tuned=tuned_cap,
         stream_enqueue_seconds=round(t_stream_enqueue, 3),
         readout_seconds=round(t_readout, 3),
         frags=n_frags, ani_rows=len(rows),

@@ -498,6 +498,49 @@ class JitMapper:
         self._seq_start = jnp.asarray(ss)
         self._fn = jax.jit(functools.partial(map_step_packed, self.cfg))
 
+    # ---- probe-pass hits_cap auto-tune -------------------------------------
+
+    def probe_fn(self):
+        """Counts-only program: sketch a batch + L1 range probes, return
+        ((1, 2) cell: [max per-fragment hit total, batch hit sum]).  Used
+        to SHRINK hits_cap to the workload's measured density before the
+        map program compiles — every L1 stage (expand, gather, sort,
+        chain merge, partner test) scales with the hits_cap width, and
+        the static formula (config.scale_caps) must assume the worst."""
+        cfg = self.cfg
+        k, w = cfg.kmer_size, cfg.window_size
+
+        def f(frags, occ_hash, occ_lut, n_occ, ft_cell):
+            from fastani_tpu.ops.xputils import lut_searchsorted
+            from fastani_tpu.utils.jitops import uncell
+
+            qh, s, _ = mapping.sketch_fragments(jnp, frags, k, w,
+                                                cfg.sketch_cap)
+            lo = lut_searchsorted(jnp, occ_hash, occ_lut, qh, None, "left")
+            hi = lut_searchsorted(jnp, occ_hash, occ_lut, qh, None,
+                                  "right")
+            n = uncell(n_occ)
+            lo = jnp.minimum(lo, n)
+            hi = jnp.minimum(hi, n)
+            jj = jnp.arange(cfg.sketch_cap, dtype=jnp.int32)
+            qvalid = jj < s[:, None]
+            cnt = jnp.maximum(jnp.where(qvalid, hi - lo, 0), 0)
+            cnt = jnp.where(cnt < uncell(ft_cell), cnt, 0)
+            tot = cnt.sum(axis=-1)
+            return jnp.stack([tot.max(), tot.sum()]).reshape(1, 2)
+
+        return jax.jit(f)
+
+    def retune_hits_cap(self, new_cap: int) -> None:
+        """Rebind the map program at a different hits_cap (results are
+        bit-identical at any non-overflowing cap; an overflow falls back
+        to the exact host redo)."""
+        if new_cap == self.cfg.hits_cap:
+            return
+        self.cfg = dataclasses.replace(self.cfg, hits_cap=new_cap)
+        self._fn = jax.jit(functools.partial(map_step_packed, self.cfg))
+        self._fused_cache = {}
+
     # ---- fused multi-batch stream step -------------------------------------
 
     def fused_stream_fin_fn(self, K: int, fin_cap: int, cgi,

@@ -94,27 +94,29 @@ def main():
     win = jax.jit(lambda fd: mapping.winnow_batched(jnp, fd, k, w, lens))
     R["  winnow kernel"], (emit, h, _) = t_chain(win, fd)
 
-    # -- 2. L1 probes -------------------------------------------------------
-    probe = jax.jit(lambda qh: (
-        lut_searchsorted(jnp, mapper._occ_hash, mapper._occ_lut, qh,
-                         cfg.occ_rounds, "left"),
-        lut_searchsorted(jnp, mapper._occ_hash, mapper._occ_lut, qh,
-                         cfg.occ_rounds, "right")))
-    R["L1 probe lo/hi"], (lo, hi) = t_chain(probe, qh)
+    # -- 2. L1 probes (index arrays as ARGS: a closure would embed the
+    # 24M-entry tables and blow the remote-compile request limit) -------
+    probe = jax.jit(lambda qh, oh, ol: (
+        lut_searchsorted(jnp, oh, ol, qh, cfg.occ_rounds, "left"),
+        lut_searchsorted(jnp, oh, ol, qh, cfg.occ_rounds, "right")))
+    R["L1 probe lo/hi"], (lo, hi) = t_chain(
+        probe, qh, mapper._occ_hash, mapper._occ_lut)
 
     # -- 3. L1 full ---------------------------------------------------------
-    l1fn = jax.jit(lambda qh, s: mapping.l1_candidates(
-        jnp, qh, s, mapper._occ_hash, mapper._occ_sid, mapper._occ_wpos,
-        mapper._min_hits, cfg.freq_threshold, l, cfg.hits_cap,
-        cfg.cand_cap, n_occ=mapper._n_occ, wpos_bits=cfg.wpos_bits,
-        occ_packed=mapper._occ_packed, occ_lut=mapper._occ_lut,
-        occ_rounds=cfg.occ_rounds))
-    R["L1 total"], l1 = t_chain(l1fn, qh, s)
+    l1fn = jax.jit(lambda qh, s, oh, osid, owp, mh, no, opk, ol:
+                   mapping.l1_candidates(
+        jnp, qh, s, oh, osid, owp, mh, cfg.freq_threshold, l,
+        cfg.hits_cap, cfg.cand_cap, n_occ=no, wpos_bits=cfg.wpos_bits,
+        occ_packed=opk, occ_lut=ol, occ_rounds=cfg.occ_rounds))
+    R["L1 total"], l1 = t_chain(
+        l1fn, qh, s, mapper._occ_hash, mapper._occ_sid,
+        mapper._occ_wpos, mapper._min_hits, mapper._n_occ,
+        mapper._occ_packed, mapper._occ_lut)
 
     # L1 sub-pieces: expansion+gather / sort / chain-merge+leaders
     jj = jnp.arange(cfg.sketch_cap, dtype=jnp.int32)
 
-    def expand_gather(qh, s, lo, hi):
+    def expand_gather(qh, s, lo, hi, occ_packed, occ_hash):
         qvalid = jj < s[:, None]
         cnt = jnp.maximum(jnp.where(qvalid, hi - lo, 0), 0)
         cum = jnp.cumsum(cnt, axis=-1).astype(jnp.int32)
@@ -130,13 +132,15 @@ def main():
             jnp.arange(F, dtype=jnp.int32)[:, None], pos].add(inc)
         src = hidx[None, :] + jnp.cumsum(arr, axis=-1)
         hvalid = hidx[None, :] < jnp.minimum(cum[:, -1], cfg.hits_cap)[:, None]
-        src = jnp.clip(src, 0, mapper._occ_hash.shape[0] - 1)
-        key = jnp.where(hvalid, mapper._occ_packed[src],
+        src = jnp.clip(src, 0, occ_hash.shape[0] - 1)
+        key = jnp.where(hvalid, occ_packed[src],
                         jnp.uint32(0xFFFFFFFF))
         return key
 
     eg = jax.jit(expand_gather)
-    R["L1 expand+gather"], key = t_chain(eg, qh, s, lo, hi)
+    R["L1 expand+gather"], key = t_chain(eg, qh, s, lo, hi,
+                                         mapper._occ_packed,
+                                         mapper._occ_hash)
 
     srt = jax.jit(lambda key: pallas_sort.sort_rows_u32(key)
                   if pallas_sort.use_pallas_sort(True, cfg.hits_cap)
@@ -172,34 +176,38 @@ def main():
     # -- 5. window location (mi probes) --------------------------------------
     bits = cfg.wpos_bits
 
-    def wloc(u_sid, u_start, u_end, u_valid):
+    def wloc(u_sid, u_start, u_end, u_valid, mi_packed, mi_lut, n_occ):
         sid_m = jnp.where(u_valid, u_sid, 0).astype(jnp.uint32)
         keyf = lambda p: (sid_m << bits) | p.astype(jnp.uint32)
         q2 = jnp.concatenate([keyf(u_start), keyf(u_end + l)])
-        r2 = lut_searchsorted(jnp, mapper._mi_packed, mapper._mi_lut, q2,
+        r2 = lut_searchsorted(jnp, mi_packed, mi_lut, q2,
                               cfg.mi_rounds, "left")
-        r2 = jnp.minimum(r2, mapper._n_occ)
+        r2 = jnp.minimum(r2, n_occ.reshape(-1)[0])
         return r2[: u_sid.shape[0]], r2[u_sid.shape[0]:]
 
     wl = jax.jit(wloc)
-    R["L2 window locate"], (u_b0, u_eL) = t_chain(wl, u_sid, u_start,
-                                                  u_end, u_valid)
+    R["L2 window locate"], (u_b0, u_eL) = t_chain(
+        wl, u_sid, u_start, u_end, u_valid, mapper._mi_packed,
+        mapper._mi_lut, mapper._n_occ)
 
     # -- 6. L2 build_events + walk for one chunk -----------------------------
     UC = cfg.unit_chunk
     sl = lambda a: a[:UC]
 
-    def events_one(u_sid, u_start, u_end, u_valid, u_b0, u_eL, u_frag):
+    def events_one(u_sid, u_start, u_end, u_valid, u_b0, u_eL, u_frag,
+                   mih, mis, miw, mpv, mnx):
         return l2walk.build_events(
             qh, s, sl(u_frag), sl(u_sid), sl(u_start), sl(u_end),
-            sl(u_valid), mapper._mi_hash, mapper._mi_sid, mapper._mi_wpos,
+            sl(u_valid), mih, mis, miw,
             l, k, w, cfg.l2_entry_cap,
             begin_end=(sl(u_b0), sl(u_eL)),
-            prev_g=mapper._mi_prev, nxt_g=mapper._mi_nxt)
+            prev_g=mpv, nxt_g=mnx)
 
     evf = jax.jit(events_one)
     R["L2 events/chunk"], (ev, aux) = t_chain(
-        evf, u_sid, u_start, u_end, u_valid, u_b0, u_eL, u_frag)
+        evf, u_sid, u_start, u_end, u_valid, u_b0, u_eL, u_frag,
+        mapper._mi_hash, mapper._mi_sid, mapper._mi_wpos,
+        mapper._mi_prev, mapper._mi_nxt)
 
     wk = jax.jit(lambda ev, s_u, n_ev: l2walk.walk_pallas(
         ev, s_u, n_ev, cfg.sketch_cap))
