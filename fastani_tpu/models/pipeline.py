@@ -336,7 +336,10 @@ def autotune_hits_cap(jit_mapper, stream: "FragmentStream",
 
     B = params.frag_batch
     starts = list(range(0, stream.F, B))
-    if not starts:
+    # the probe+retrace overhead (~6 s: 12 probe dispatches + re-tracing
+    # the map program at the tuned shape) only amortizes when the static
+    # cap is large — small caps have little width to recover
+    if not starts or params.hits_cap <= 8192:
         return params.hits_cap
     step = max(1, len(starts) // n_samples)
     picks = starts[::step][:n_samples]
