@@ -67,6 +67,10 @@ def main():
                          "table memory at full reference scale")
     ap.add_argument("--workdir", default="",
                     help="reuse an existing workload directory")
+    ap.add_argument("--caps-genomes", type=int, default=0,
+                    help="scale the L1 caps for this many RELATED genomes "
+                         "instead of the total count (clustered workloads "
+                         "+ r-sharding shrink per-device hit density)")
     args = ap.parse_args()
 
     from bench import build_workload
@@ -96,7 +100,7 @@ def main():
     stats: dict = {}
     t0 = time.time()
     if args.path == "fused":
-        scale_caps(args.genomes, params)
+        scale_caps(args.caps_genomes or args.genomes, params)
         final = runner.run_sharded_fused(params, n_r=n_r, n_q=n_q,
                                          backend="jax", stats=stats,
                                          log=log)

@@ -117,11 +117,11 @@ def main():
     t_ingest = time.time() - t0
 
     t0 = time.time()
+    static_cap = params.hits_cap
     cap = pipeline.autotune_hits_cap(mapper, stream, params)
     t_tune = time.time() - t0
-    print(f"hits_cap auto-tuned to {cap} "
-          f"(static formula: {256 * per_cluster})", file=sys.stderr,
-          flush=True)
+    print(f"hits_cap auto-tuned to {cap} (static formula: {static_cap})",
+          file=sys.stderr, flush=True)
 
     stats: dict = {}
     t0 = time.time()
