@@ -231,9 +231,14 @@ def run_sharded_fused(params: Parameters, n_r: Optional[int] = None,
         # harvest the JitMapper's device-side index prep (padding, packed
         # keys, probe LUTs, prev/next links) — all in HBM, zero fetches
         mapper = jitmap.JitMapper(params, index)
+        # probe-pass hits_cap auto-tune (pipeline.autotune_hits_cap):
+        # every L1 stage scales with this width and the mesh step
+        # compiles fresh per shape anyway
+        tuned = pipeline.autotune_hits_cap(mapper, stream, params)
+        log(f"INFO, fastani_tpu, hits_cap auto-tuned to {tuned}")
         cfg = dataclasses.replace(
-            cfg, wpos_bits=mapper.cfg.wpos_bits, occ_rounds=None,
-            mi_rounds=None)
+            cfg, hits_cap=tuned, wpos_bits=mapper.cfg.wpos_bits,
+            occ_rounds=None, mi_rounds=None)
         from jax.sharding import NamedSharding
 
         r2 = NamedSharding(plan.mesh, P("r", None))
