@@ -145,7 +145,7 @@ def update_tab(tab, packed, n_valid, excl_frag, genome_of_seq, bin_start,
                frag_cap: int):
     """Pure per-batch table fold: exact 1-way dedupe + 2-way scatter-max.
     Shared by the standalone _update_jit and the fused multi-batch scan
-    step (models/jitmap.make_fused_stream_step) — fusing K batches into
+    step (models/jitmap.fused_stream_fin_fn) — fusing K batches into
     one program keeps the dispatch queue shallow (deep async queues are
     pathological on this platform, utils/jitops docstring)."""
     import jax.numpy as jnp
