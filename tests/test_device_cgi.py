@@ -258,6 +258,62 @@ def test_stream_invariant_to_fuse_grouping(tmp_path):
     assert c1.sum() > 0
 
 
+def test_stream_slot_recycling_across_groups(tmp_path):
+    """In-scan finalize with heavy slot recycling: genomes of very
+    different sizes (1-5 batches each) across several fused K-groups,
+    so slots recycle repeatedly and finalize lists land mid-group and at
+    group boundaries.  Counts must equal the host aggregation."""
+    from tests import synth
+
+    from fastani_tpu.config import Parameters
+    from fastani_tpu.index.sketch import ReferenceIndex
+    from fastani_tpu.models import jitmap, pipeline
+
+    rng = np.random.default_rng(37)
+    base = synth.random_genome(rng, 120_000)
+    sizes = [100_000, 24_000, 45_000, 12_000, 78_000, 30_000]
+    paths = []
+    for i, sz in enumerate(sizes):
+        g = synth.mutate_genome(rng, base[:sz], 0.01 + 0.01 * (i % 4))
+        p = tmp_path / f"g{i}.fa"
+        synth.write_fasta(p, [(f"g{i}", g)])
+        paths.append(str(p))
+    params = Parameters(frag_batch=8).finalize()
+    params.ref_sequences = list(paths)
+    params.query_sequences = list(paths)
+    index = ReferenceIndex.build(params)
+    mapper = jitmap.JitMapper(params, index, unit_factor=8, unit_chunk=16)
+    queries = [pipeline.load_query_fragments(p, params) for p in paths]
+    G = len(paths)
+
+    starts, fins, tail, n_slots, fin_cap = pipeline.cgi_stream_schedule(
+        pipeline.FragmentStream(queries, params), 8, G)
+    assert n_slots < G            # slots genuinely recycle
+    assert any(fins)              # finalize lists genuinely fire
+
+    h = pipeline.map_queries_cgi_stream(queries, index, params, mapper,
+                                        G, G, fuse_k=4)
+    c_dev, s_dev = pipeline.map_queries_cgi_finish(h, index, params,
+                                                   mapper)
+
+    mapper2 = jitmap.JitMapper(params, index, unit_factor=8, unit_chunk=16)
+    maps = pipeline.map_queries_batched(queries, index, params, mapper2)
+    genome_of_seq = index.genome_of_seq()
+    for q, m in enumerate(maps):
+        rows, _ = ani.compute_cgi_arrays(
+            m["ref_seq_id"], m["query_seq_id"], m["ref_start_pos"],
+            m["ident"], genome_of_seq, params.frag_len, q,
+            queries[q].total_fragments, want_visual=False)
+        want = {r.ref_genome: r for r in rows}
+        for g in range(G):
+            assert c_dev[q, g] == (want[g].count_seq if g in want else 0), \
+                (q, g)
+            if g in want:
+                np.testing.assert_allclose(
+                    s_dev[q, g] / c_dev[q, g], want[g].identity, rtol=2e-6)
+    assert c_dev.sum() > 0
+
+
 def test_stream_excludes_pad_rows_of_partial_batch(tmp_path, monkeypatch):
     """Regression (advisor r4, high): the device-CGI stream must mark
     rows past n_used of the final PARTIAL batch invalid — their content
